@@ -1,0 +1,34 @@
+"""neptpu — a TPU-native nonlinear-eigenproblem framework (JAX/XLA/Pallas).
+
+Brand-new implementation of the capabilities of NEP-PACK /
+NonlinearEigenproblems.jl (surveyed in SURVEY.md), designed TPU-first:
+aligned-sparsity stacked operands, fused Mlincomb kernels, batched shifted
+solves, host-callback small dense eigensolves, and sharded quadrature /
+SpMV over device meshes.
+"""
+from . import config  # noqa: F401  (enables x64 on import)
+from .core.nep import (
+    NEP,
+    compute_Mder,
+    compute_Mlincomb,
+    compute_MM,
+    compute_resnorm,
+)
+from .core.exceptions import NoConvergenceException, LostOrthogonalityException
+from .core.logger import Logger, PrintLogger, ErrorLogger
+from .core.errmeasure import (
+    Errmeasure,
+    ResidualErrmeasure,
+    StandardSPMFErrmeasure,
+    EigvalReferenceErrmeasure,
+    DefaultErrmeasure,
+    estimate_error,
+)
+from .models.spmf import AbstractSPMF, SPMF_NEP
+from .models.dep import DEP
+from .models.pep import PEP
+from .models.gallery import nep_gallery
+from .ops import matfun
+from .ops import sparse
+
+__version__ = "0.1.0"

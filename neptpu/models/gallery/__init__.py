@@ -1,0 +1,38 @@
+"""Gallery registry: ``nep_gallery(name, *params, **kwargs)``
+(reference ``src/Gallery.jl:183-221``)."""
+from __future__ import annotations
+
+from . import basic, examples
+
+__all__ = ["nep_gallery", "GALLERY"]
+
+GALLERY = {
+    "dep0": basic.dep0,
+    "dep0_sparse": basic.dep0_sparse,
+    "dep0_tridiag": basic.dep0_tridiag,
+    "pep0": basic.pep0,
+    "pep0_sym": basic.pep0_sym,
+    "pep0_sparse": basic.pep0_sparse,
+    "qep_fixed_eig": basic.qep_fixed_eig,
+    "dep1": examples.dep1,
+    "dep_symm_double": examples.dep_symm_double,
+    "dep_double": examples.dep_double,
+    "real_quadratic": examples.real_quadratic,
+    "qdep0": examples.qdep0,
+    "qdep1": examples.qdep1,
+    "neuron0": examples.neuron0,
+    "beam": examples.beam,
+    "sine": examples.sine_nep,
+}
+
+
+def register(name, fn):
+    GALLERY[name] = fn
+
+
+def nep_gallery(name, *params, **kwargs):
+    if name not in GALLERY:
+        raise ValueError(
+            f"unknown gallery problem '{name}'; available: {sorted(GALLERY)}"
+        )
+    return GALLERY[name](*params, **kwargs)

@@ -1,0 +1,115 @@
+"""SPMF: sum of products of matrices and functions, M(lam) = sum_i A_i f_i(lam).
+
+TPU-first design: the operands live in a *TermBank* (aligned-pattern stacked
+CSR or stacked dense tensor; see ``neptpu/ops/sparse.py``), so
+
+* assembly ``compute_Mder`` is a weight-vector contraction over nzvals
+  (reference "aligned sparsity patterns", ``NEPTypes.jl:244-274,343-360``),
+* ``compute_Mlincomb`` is ONE fused  (derivative-table GEMM) + (gather /
+  segment-sum) kernel (reference fast path ``NEPTypes.jl:972-1011``),
+* ``compute_MM`` evaluates each ``f_i`` on the small dense S and does a
+  batched SpMM (reference ``NEPTypes.jl:276-319``).
+
+Term functions follow the matrix-function contract of
+``neptpu/ops/matfun.py`` (valid on scalars-as-1x1 and small dense matrices,
+including defective Jordan-chain inputs).
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+
+from ..core.nep import NEP
+from ..ops import matfun
+from ..ops.sparse import make_term_bank
+
+__all__ = ["AbstractSPMF", "SPMF_NEP", "fun_scalar"]
+
+
+def fun_scalar(f, lam):
+    """Evaluate a matrix-function term at a scalar via a 1x1 matrix."""
+    lam = jnp.asarray(lam)
+    return f(lam.reshape(1, 1))[0, 0]
+
+
+class AbstractSPMF(NEP):
+    """Interface: get_Av() operand list, get_fv() matrix-function list
+    (reference ``NEPTypes.jl:86-113``)."""
+
+    def get_Av(self):
+        raise NotImplementedError
+
+    def get_fv(self):
+        raise NotImplementedError
+
+    def fv_scalar(self, lam):
+        """Vector [f_i(lam)] of scalar term values (for backward-error
+        measures and projections)."""
+        return jnp.stack([fun_scalar(f, lam) for f in self.get_fv()])
+
+
+class SPMF_NEP(AbstractSPMF):
+    """Concrete SPMF over a TermBank (reference ``SPMF_NEP``,
+    ``NEPTypes.jl:178-241``).
+
+    Parameters
+    ----------
+    Av : matrices (scipy-sparse or array-like), all n x n
+    fv : matrix functions built from ``neptpu.matfun`` primitives
+    align_sparsity_patterns : kept for API parity; alignment is the default
+        storage whenever all operands are sparse.
+    """
+
+    def __init__(self, Av: Sequence, fv: Sequence[Callable], dtype=None,
+                 align_sparsity_patterns: bool = True, bank=None):
+        if bank is None:
+            bank = make_term_bank(Av, dtype=dtype)
+        self.bank = bank
+        self.fv = list(fv)
+        if len(self.fv) != bank.nterms:
+            raise ValueError(
+                f"got {bank.nterms} matrices but {len(self.fv)} functions"
+            )
+        self.n = bank.n
+
+    @property
+    def issparse(self):
+        return self.bank.is_sparse
+
+    def get_Av(self):
+        b = self.bank
+        if b.is_sparse:
+            return [b.term_csr(i) for i in range(b.nterms)]
+        return [b.A[i] for i in range(b.nterms)]
+
+    def get_fv(self):
+        return self.fv
+
+    # -- compute functions -------------------------------------------------
+    def Mder(self, lam, der: int = 0):
+        w = jnp.stack(
+            [matfun.fun_derivatives(f, lam, der + 1)[der] for f in self.fv]
+        )
+        return self.bank.combine(w)
+
+    def Mder_dense(self, lam, der: int = 0):
+        M = self.Mder(lam, der)
+        return M if isinstance(M, jnp.ndarray) else M.to_dense()
+
+    def Mlincomb(self, lam, V, a=None, startder: int = 0):
+        V = jnp.asarray(V)
+        if V.ndim == 1:
+            V = V[:, None]
+        k = V.shape[1]
+        if a is None:
+            a = jnp.ones((k,))
+        D = matfun.deriv_table(self.fv, lam, a, startder=startder)  # (m, k)
+        W = V @ D.T  # (n, m): one small GEMM
+        return self.bank.lincomb_apply(W)
+
+    def MM(self, S, V):
+        S = jnp.asarray(S)
+        V = jnp.asarray(V)
+        F = jnp.stack([f(S.astype(jnp.result_type(S, jnp.float32))) for f in self.fv])
+        return self.bank.mm_apply(V, F)

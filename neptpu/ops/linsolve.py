@@ -1,0 +1,221 @@
+"""Linear-solver layer (reference ``src/LinSolvers.jl`` + ``LinSolverCreators.jl``).
+
+The reference's workhorse is a cached UMFPACK LU of ``compute_Mder(nep, lam)``.
+UMFPACK has no TPU analogue; the TPU-native decision (SURVEY.md §7) is:
+
+* moderate n (the whole gallery: n <= ~1e4): **dense LU in HBM** — an MXU-
+  friendly O(n^3/3) factorization that amortizes over solver iterations
+  exactly like the reference's cached sparse LU, and *batches over shifts*
+  via ``vmap`` (one stacked LU per Leja/quadrature node set).
+* matrix-free: our own **GMRES** over ``compute_Mlincomb`` matvecs.
+
+The creator/cache semantics (``FactorizeLinSolverCreator`` recycling dict,
+``LinSolverCreators.jl:62-122``) are preserved: creators decide *when*
+factorizations happen and cache them keyed by shift.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.nep import compute_Mder, compute_Mlincomb
+
+__all__ = [
+    "LinSolver",
+    "lin_solve",
+    "FactorizeLinSolver",
+    "BackslashLinSolver",
+    "GMRESLinSolver",
+    "FactorizeLinSolverCreator",
+    "BackslashLinSolverCreator",
+    "GMRESLinSolverCreator",
+    "DefaultLinSolverCreator",
+    "create_linsolver",
+    "gmres",
+    "batched_lu_factor",
+    "batched_lu_solve",
+]
+
+
+def _dense_mder(nep, lam):
+    M = compute_Mder(nep, lam)
+    if not isinstance(M, jnp.ndarray):
+        M = M.to_dense()
+    return M
+
+
+@jax.jit
+def _lu_factor(A):
+    return jax.scipy.linalg.lu_factor(A)
+
+
+@partial(jax.jit, static_argnames=())
+def _lu_solve(lu_piv, b):
+    return jax.scipy.linalg.lu_solve(lu_piv, b)
+
+
+# vmapped over a leading shift axis: the batched-shifted-solve primitive that
+# contour/NLEIGS-style methods build on.
+batched_lu_factor = jax.jit(jax.vmap(jax.scipy.linalg.lu_factor))
+batched_lu_solve = jax.jit(jax.vmap(jax.scipy.linalg.lu_solve))
+
+
+class LinSolver:
+    """A solver bound to one (nep, lam); ``solve`` accepts vector or matrix
+    right-hand sides (contour methods need block RHS,
+    ``method_beyncontour.jl:21-24``)."""
+
+    def solve(self, b, tol=None):
+        raise NotImplementedError
+
+
+def lin_solve(solver: LinSolver, b, tol=None):
+    return solver.solve(b, tol=tol)
+
+
+class FactorizeLinSolver(LinSolver):
+    """LU once, triangular solves per call (reference ``LinSolvers.jl:109-137``)."""
+
+    def __init__(self, nep, lam, umfpack_refinements: int = 2):
+        A = _dense_mder(nep, lam)
+        self.dtype = A.dtype
+        self.lu = _lu_factor(A)
+
+    def solve(self, b, tol=None):
+        b = jnp.asarray(b, dtype=self.dtype)
+        return _lu_solve(self.lu, b)
+
+
+class BackslashLinSolver(LinSolver):
+    """Re-solve A\\b each call, no cached factorization
+    (reference ``LinSolvers.jl:147-159``)."""
+
+    def __init__(self, nep, lam):
+        self.A = _dense_mder(nep, lam)
+
+    def solve(self, b, tol=None):
+        return jnp.linalg.solve(self.A, jnp.asarray(b, dtype=self.A.dtype))
+
+
+@partial(jax.jit, static_argnames=("matvec", "restart", "maxiter"))
+def _gmres_impl(matvec, b, x0, tol, restart, maxiter):
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        matvec,
+        b,
+        x0=x0,
+        tol=tol,
+        restart=restart,
+        maxiter=maxiter,
+        solve_method="incremental",
+    )
+    return x
+
+
+def gmres(matvec, b, x0=None, tol=1e-12, restart=50, maxiter=200):
+    """Matrix-free GMRES (jax-native; used by GMRESLinSolver and by the
+    structured waveguide solvers)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    return _gmres_impl(matvec, b, x0, tol, restart, maxiter)
+
+
+class GMRESLinSolver(LinSolver):
+    """Matrix-free: wraps v -> compute_Mlincomb(nep, lam, v)
+    (reference ``LinSolvers.jl:171-188``)."""
+
+    def __init__(self, nep, lam, tol=1e-12, restart=50, maxiter=200,
+                 preconditioner: Optional[Callable] = None):
+        self.nep = nep
+        self.lam = lam
+        self.tol = tol
+        self.restart = restart
+        self.maxiter = maxiter
+        self.preconditioner = preconditioner
+        cdt = jnp.result_type(jnp.asarray(lam), jnp.float32)
+        self.dtype = cdt
+
+    def _matvec(self, v):
+        return compute_Mlincomb(self.nep, self.lam, v[:, None], jnp.ones((1,)))
+
+    def solve(self, b, tol=None):
+        b = jnp.asarray(b)
+        if b.ndim == 2:
+            cols = [self.solve(b[:, j], tol=tol) for j in range(b.shape[1])]
+            return jnp.stack(cols, axis=1)
+        t = self.tol if tol is None else tol
+        M = self.preconditioner
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            self._matvec,
+            b.astype(self.dtype),
+            tol=t,
+            restart=self.restart,
+            maxiter=self.maxiter,
+            M=M,
+            solve_method="incremental",
+        )
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Creators: strategy objects deciding when factorizations happen.
+# ---------------------------------------------------------------------------
+
+
+class LinSolverCreator:
+    def create(self, nep, lam):
+        raise NotImplementedError
+
+
+class FactorizeLinSolverCreator(LinSolverCreator):
+    """Optionally precompute factorizations at given shifts and recycle up to
+    ``max_factorizations`` (reference ``LinSolverCreators.jl:62-122``)."""
+
+    def __init__(self, umfpack_refinements: int = 2, recycled_factorizations=None,
+                 max_factorizations: int = 0, nep=None, precomp_values=()):
+        self.umfpack_refinements = umfpack_refinements
+        self.max_factorizations = max_factorizations
+        self.cache = dict(recycled_factorizations or {})
+        for lam in precomp_values:
+            if nep is None:
+                raise ValueError("precomp_values requires nep")
+            self.cache[complex(lam)] = FactorizeLinSolver(nep, lam, umfpack_refinements)
+
+    def create(self, nep, lam):
+        key = complex(np.asarray(lam))
+        if key in self.cache:
+            return self.cache[key]
+        solver = FactorizeLinSolver(nep, lam, self.umfpack_refinements)
+        if self.max_factorizations != 0 and (
+            self.max_factorizations < 0 or len(self.cache) < self.max_factorizations
+        ):
+            self.cache[key] = solver
+        return solver
+
+
+class BackslashLinSolverCreator(LinSolverCreator):
+    def create(self, nep, lam):
+        return BackslashLinSolver(nep, lam)
+
+
+class GMRESLinSolverCreator(LinSolverCreator):
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+
+    def create(self, nep, lam):
+        return GMRESLinSolver(nep, lam, **self.kwargs)
+
+
+DefaultLinSolverCreator = FactorizeLinSolverCreator
+
+
+def create_linsolver(creator, nep, lam):
+    """(reference ``create_linsolver(creator, nep, lam)``)."""
+    if creator is None:
+        creator = FactorizeLinSolverCreator()
+    if isinstance(creator, type):
+        creator = creator()
+    return creator.create(nep, lam)

@@ -1,0 +1,340 @@
+"""TPU-native sparse operand storage for SPMF-form problems.
+
+Design (not a port): the reference keeps per-term ``SparseMatrixCSC`` operands
+and exploits *aligned sparsity patterns* so that assembling ``M(lambda)`` is a
+pure nzval-axpy (reference ``src/NEPTypes.jl:244-274,343-360``).  Here that idea
+becomes the *default* storage: all terms of an SPMF bank share ONE index set and
+their values live in a stacked ``(m, nnz)`` array.  Everything a solver needs is
+then expressible as three fused primitives that XLA maps well to TPU:
+
+* ``combine(w)``        -> nzvals = w @ data           (assembly, a tiny GEMM)
+* ``lincomb_apply(W)``  -> y = A_i @ W[:, i] summed    (the compute_Mlincomb hot op:
+                           one gather + elementwise + segment-sum)
+* ``mm_apply(V, F)``    -> sum_i A_i (V @ F_i)          (block residual compute_MM)
+
+Two interchangeable backends:
+
+* ``DenseTermBank``  — stacked ``(m, n, n)`` dense tensor.  For moderate n this
+  is the fastest thing on TPU (pure MXU), and it is what the LU-based linear
+  solvers consume anyway.
+* ``SparseTermBank`` — aligned CSR (shared indices, stacked data) driving the
+  gather/segment-sum kernels; the Pallas row-blocked kernel in
+  ``neptpu/ops/pallas_spmv.py`` plugs in underneath for the benchmark path.
+
+Both are registered pytrees so they jit/vmap/shard transparently.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "CSR",
+    "DenseTermBank",
+    "SparseTermBank",
+    "make_term_bank",
+    "spmv",
+    "spmm",
+]
+
+
+def _to_scipy_csr(A, n=None):
+    import scipy.sparse as sp
+
+    if sp.issparse(A):
+        return A.tocsr()
+    A = np.asarray(A)
+    return sp.csr_matrix(A)
+
+
+@jax.tree_util.register_pytree_node_class
+class CSR:
+    """A single CSR matrix as a pytree (data, indices, row_ids; indptr aux-free).
+
+    ``row_ids`` (the COO row index per stored entry, in CSR order) is kept
+    explicitly because the TPU kernel is gather + segment-sum, not
+    pointer-chasing.
+    """
+
+    def __init__(self, data, indices, row_ids, indptr, shape):
+        self.data = data
+        self.indices = indices
+        self.row_ids = row_ids
+        self.indptr = indptr
+        self.shape = tuple(shape)
+
+    @property
+    def nnz(self):
+        return self.data.shape[-1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @classmethod
+    def from_scipy(cls, A, dtype=None):
+        A = _to_scipy_csr(A)
+        A.sum_duplicates()
+        data = np.asarray(A.data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        indptr = np.asarray(A.indptr, dtype=np.int32)
+        row_ids = np.repeat(np.arange(A.shape[0], dtype=np.int32), np.diff(indptr))
+        return cls(
+            jnp.asarray(data),
+            jnp.asarray(A.indices, dtype=jnp.int32),
+            jnp.asarray(row_ids),
+            jnp.asarray(indptr),
+            A.shape,
+        )
+
+    def to_dense(self):
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.row_ids, self.indices].add(self.data)
+
+    def matvec(self, x):
+        return spmv(self, x)
+
+    def matmat(self, X):
+        return spmm(self, X)
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.row_ids, self.indptr), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0])
+
+
+def spmv(A: CSR, x):
+    """y = A @ x via gather + segment-sum (XLA fuses this well on TPU)."""
+    prod = A.data * x[A.indices]
+    return jax.ops.segment_sum(prod, A.row_ids, num_segments=A.shape[0])
+
+
+def spmm(A: CSR, X):
+    """Y = A @ X for X of shape (n, k)."""
+    prod = A.data[:, None] * X[A.indices, :]
+    return jax.ops.segment_sum(prod, A.row_ids, num_segments=A.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Term banks: the stacked-operand abstraction behind every SPMF-form NEP type.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseTermBank:
+    """Stacked dense operands ``A`` of shape (m, n, n)."""
+
+    is_sparse = False
+
+    def __init__(self, A, fro_norms=None):
+        self.A = A
+        if fro_norms is None:
+            fro_norms = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=(1, 2)))
+        self.fro_norms = fro_norms
+
+    @property
+    def nterms(self):
+        return self.A.shape[0]
+
+    @property
+    def n(self):
+        return self.A.shape[1]
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    def term_dense(self, i):
+        return self.A[i]
+
+    def combine(self, w):
+        """sum_i w_i A_i as a dense (n, n) matrix."""
+        w = jnp.asarray(w)
+        return jnp.tensordot(w, self.A.astype(jnp.result_type(w, self.A)), axes=1)
+
+    def lincomb_apply(self, W):
+        """sum_i A_i @ W[:, i] for W of shape (n, m)."""
+        dt = jnp.result_type(W, self.A)
+        return jnp.einsum("mij,jm->i", self.A.astype(dt), W.astype(dt))
+
+    def lincomb_apply_mat(self, W):
+        """sum_i A_i @ W[:, :, i] for W of shape (n, k, m) -> (n, k)."""
+        dt = jnp.result_type(W, self.A)
+        return jnp.einsum("mij,jkm->ik", self.A.astype(dt), W.astype(dt))
+
+    def mm_apply(self, V, F):
+        """sum_i A_i @ (V @ F_i) with F stacked (m, k, k)."""
+        dt = jnp.result_type(V, F, self.A)
+        VF = jnp.einsum("nk,mkl->mnl", V.astype(dt), F.astype(dt))
+        return jnp.einsum("mij,mjl->il", self.A.astype(dt), VF)
+
+    def tree_flatten(self):
+        return (self.A, self.fro_norms), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseTermBank:
+    """Aligned-pattern CSR bank: shared indices, stacked data (m, nnz).
+
+    This is the reference's ``form_aligned_sparsity_patterns`` idea
+    (``NEPTypes.jl:244-274``) promoted to the primary storage format.
+    """
+
+    is_sparse = True
+
+    def __init__(self, data, indices, row_ids, indptr, shape, fro_norms=None):
+        self.data = data  # (m, nnz)
+        self.indices = indices
+        self.row_ids = row_ids
+        self.indptr = indptr
+        self.shape = tuple(shape)
+        if fro_norms is None:
+            fro_norms = jnp.sqrt(jnp.sum(jnp.abs(data) ** 2, axis=1))
+        self.fro_norms = fro_norms
+
+    @property
+    def nterms(self):
+        return self.data.shape[0]
+
+    @property
+    def n(self):
+        return self.shape[0]
+
+    @property
+    def nnz(self):
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @classmethod
+    def from_matrices(cls, mats: Sequence[Any], dtype=None):
+        """Align the sparsity patterns of ``mats`` (scipy sparse / ndarray)."""
+        import scipy.sparse as sp
+
+        mats = [_to_scipy_csr(A) for A in mats]
+        n, m = mats[0].shape
+        # Union pattern: sum of |A_i| patterns.
+        pattern = sp.csr_matrix((n, m))
+        for A in mats:
+            P = A.copy()
+            P.data = np.ones_like(P.data)
+            pattern = pattern + P
+        pattern = pattern.tocsr()
+        pattern.sum_duplicates()
+        pattern.sort_indices()
+        nnz = pattern.nnz
+        if dtype is None:
+            dtype = np.result_type(*[A.dtype for A in mats])
+        data = np.zeros((len(mats), nnz), dtype=dtype)
+        # Scatter each matrix's values into the union slot positions.
+        lookup = {}
+        indptr = pattern.indptr
+        for r in range(n):
+            for p in range(indptr[r], indptr[r + 1]):
+                lookup[(r, pattern.indices[p])] = p
+        for i, A in enumerate(mats):
+            Ac = A.tocoo()
+            for r, c, v in zip(Ac.row, Ac.col, Ac.data):
+                data[i, lookup[(r, c)]] += v
+        row_ids = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+        return cls(
+            jnp.asarray(data),
+            jnp.asarray(pattern.indices, dtype=jnp.int32),
+            jnp.asarray(row_ids),
+            jnp.asarray(indptr, dtype=jnp.int32),
+            (n, m),
+        )
+
+    def term_csr(self, i):
+        return CSR(self.data[i], self.indices, self.row_ids, self.indptr, self.shape)
+
+    def term_dense(self, i):
+        return self.term_csr(i).to_dense()
+
+    def combine(self, w):
+        """sum_i w_i A_i as a CSR with the shared pattern (nzval contraction)."""
+        w = jnp.asarray(w)
+        dt = jnp.result_type(w, self.data)
+        nz = jnp.tensordot(w, self.data.astype(dt), axes=1)
+        return CSR(nz, self.indices, self.row_ids, self.indptr, self.shape)
+
+    def combine_dense(self, w):
+        return self.combine(w).to_dense()
+
+    def lincomb_apply(self, W):
+        """sum_i A_i @ W[:, i]: ONE gather + elementwise + segment-sum."""
+        dt = jnp.result_type(W, self.data)
+        G = W.astype(dt)[self.indices, :]  # (nnz, m)
+        prod = jnp.sum(G * self.data.astype(dt).T, axis=1)  # (nnz,)
+        return jax.ops.segment_sum(prod, self.row_ids, num_segments=self.shape[0])
+
+    def lincomb_apply_mat(self, W):
+        """sum_i A_i @ W[:, :, i] for W (n, k, m) -> (n, k)."""
+        dt = jnp.result_type(W, self.data)
+        G = W.astype(dt)[self.indices, :, :]  # (nnz, k, m)
+        prod = jnp.einsum("nkm,mn->nk", G, self.data.astype(dt))
+        return jax.ops.segment_sum(prod, self.row_ids, num_segments=self.shape[0])
+
+    def mm_apply(self, V, F):
+        """sum_i A_i @ (V @ F_i) with F stacked (m, k, k)."""
+        dt = jnp.result_type(V, F, self.data)
+        VF = jnp.einsum("nk,mkl->nlm", V.astype(dt), F.astype(dt))  # (n, k, m)
+        return self.lincomb_apply_mat(VF)
+
+    def to_dense_bank(self):
+        n = self.shape[0]
+        A = jnp.zeros((self.nterms,) + self.shape, dtype=self.dtype)
+        A = A.at[:, self.row_ids, self.indices].add(self.data)
+        return DenseTermBank(A, self.fro_norms)
+
+    def tree_flatten(self):
+        return (
+            (self.data, self.indices, self.row_ids, self.indptr, self.fro_norms),
+            (self.shape,),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        data, indices, row_ids, indptr, fro = leaves
+        return cls(data, indices, row_ids, indptr, aux[0], fro)
+
+
+def make_term_bank(mats: Sequence[Any], dtype=None, prefer_sparse=None):
+    """Build the right TermBank for a list of operands.
+
+    ``prefer_sparse=None`` auto-selects: sparse storage iff all operands are
+    scipy-sparse (mirrors the reference, where SPMF types follow the operand
+    storage; ``NEPTypes.jl:178-241``).
+    """
+    import scipy.sparse as sp
+
+    seq = list(mats)
+    if len(seq) == 0:
+        raise ValueError("term bank needs at least one operand")
+    all_sparse = all(sp.issparse(A) for A in seq)
+    if prefer_sparse is None:
+        prefer_sparse = all_sparse
+    if prefer_sparse:
+        return SparseTermBank.from_matrices(seq, dtype=dtype)
+    dense = []
+    for A in seq:
+        if sp.issparse(A):
+            A = A.toarray()
+        dense.append(np.asarray(A))
+    if dtype is None:
+        dtype = np.result_type(*[A.dtype for A in dense])
+    A = jnp.asarray(np.stack([A.astype(dtype) for A in dense]))
+    return DenseTermBank(A)
