@@ -30,5 +30,37 @@ from .models.pep import PEP
 from .models.gallery import nep_gallery
 from .ops import matfun
 from .ops import sparse
+from .ops.linsolve import (
+    BackslashLinSolver,
+    BackslashLinSolverCreator,
+    DefaultLinSolverCreator,
+    FactorizeLinSolver,
+    FactorizeLinSolverCreator,
+    GMRESLinSolver,
+    GMRESLinSolverCreator,
+    LinSolver,
+    create_linsolver,
+    lin_solve,
+)
+from .ops.eigsolve import (
+    ArnoldiEigSolver,
+    DefaultEigSolver,
+    EigenEigSolver,
+    EigSolver,
+    eig_solve,
+)
+from .solvers import (
+    augnewton,
+    compute_rf,
+    implicitdet,
+    mslp,
+    newton,
+    newtonqr,
+    quasinewton,
+    resinv,
+    rfi,
+    rfi_b,
+    sgiter,
+)
 
 __version__ = "0.1.0"
