@@ -28,6 +28,8 @@ from .models.spmf import AbstractSPMF, SPMF_NEP
 from .models.dep import DEP
 from .models.pep import PEP
 from .models.gallery import nep_gallery
+from .models.cheb import ChebPEP
+from .models.projection import Proj_NEP, Proj_SPMF_NEP, create_proj_NEP
 from .ops import matfun
 from .ops import sparse
 from .ops.linsolve import (
@@ -49,7 +51,22 @@ from .ops.eigsolve import (
     EigSolver,
     eig_solve,
 )
+from .ops.orth import DGKS, ClassicalGS, ModifiedGS, orthogonalize_and_normalize
 from .solvers import (
+    iar,
+    tiar,
+    companion,
+    polyeig,
+    inner_solve,
+    InnerSolver,
+    DefaultInnerSolver,
+    NewtonInnerSolver,
+    PolyeigInnerSolver,
+    IARInnerSolver,
+    IARChebInnerSolver,
+    SGIterInnerSolver,
+    ContourBeynInnerSolver,
+    NleigsInnerSolver,
     augnewton,
     compute_rf,
     implicitdet,

@@ -5,8 +5,37 @@ from .mslp import mslp
 from .rfi import rfi, rfi_b
 from .sgiter import sgiter
 from .rf import compute_rf
+from .iar import iar
+from .tiar import tiar
+from .companion import companion, polyeig
+from .inner import (
+    ContourBeynInnerSolver,
+    DefaultInnerSolver,
+    IARChebInnerSolver,
+    IARInnerSolver,
+    InnerSolver,
+    NewtonInnerSolver,
+    NleigsInnerSolver,
+    PolyeigInnerSolver,
+    SGIterInnerSolver,
+    inner_solve,
+)
 
 __all__ = [
+    "iar",
+    "tiar",
+    "companion",
+    "polyeig",
+    "inner_solve",
+    "InnerSolver",
+    "DefaultInnerSolver",
+    "NewtonInnerSolver",
+    "PolyeigInnerSolver",
+    "IARInnerSolver",
+    "IARChebInnerSolver",
+    "SGIterInnerSolver",
+    "ContourBeynInnerSolver",
+    "NleigsInnerSolver",
     "newton",
     "augnewton",
     "resinv",
