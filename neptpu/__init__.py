@@ -53,6 +53,13 @@ from .ops.eigsolve import (
 )
 from .ops.orth import DGKS, ClassicalGS, ModifiedGS, orthogonalize_and_normalize
 from .solvers import (
+    contour_beyn,
+    contour_block_SS,
+    MatrixIntegrator,
+    MatrixTrapezoidal,
+    MatrixGaussLegendre,
+    integrate_interval,
+    batched_shifted_solves,
     iar,
     tiar,
     companion,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from . import basic, examples
+from .distributed import dep_distributed
 
 __all__ = ["nep_gallery", "GALLERY"]
 
@@ -23,6 +24,7 @@ GALLERY = {
     "neuron0": examples.neuron0,
     "beam": examples.beam,
     "sine": examples.sine_nep,
+    "dep_distributed": dep_distributed,
 }
 
 

@@ -8,6 +8,15 @@ from .rf import compute_rf
 from .iar import iar
 from .tiar import tiar
 from .companion import companion, polyeig
+from .contour import (
+    MatrixGaussLegendre,
+    MatrixIntegrator,
+    MatrixTrapezoidal,
+    batched_shifted_solves,
+    contour_beyn,
+    contour_block_SS,
+    integrate_interval,
+)
 from .inner import (
     ContourBeynInnerSolver,
     DefaultInnerSolver,
@@ -22,6 +31,13 @@ from .inner import (
 )
 
 __all__ = [
+    "contour_beyn",
+    "contour_block_SS",
+    "MatrixIntegrator",
+    "MatrixTrapezoidal",
+    "MatrixGaussLegendre",
+    "integrate_interval",
+    "batched_shifted_solves",
     "iar",
     "tiar",
     "companion",
