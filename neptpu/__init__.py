@@ -29,6 +29,10 @@ from .models.dep import DEP
 from .models.pep import PEP
 from .models.gallery import nep_gallery
 from .models.cheb import ChebPEP
+from .models.sumnep import GenericSumNEP, SPMFSumNEP, SumNEP
+from .models.lowrank import LowRankFactorizedNEP
+from .models.derspmf import DerSPMF
+from .models.helpers import Mder_NEP, Mder_Mlincomb_NEP, REP
 from .models.projection import Proj_NEP, Proj_SPMF_NEP, create_proj_NEP
 from .ops import matfun
 from .ops import sparse
@@ -51,8 +55,30 @@ from .ops.eigsolve import (
     EigSolver,
     eig_solve,
 )
+from .transforms import (
+    CORKPencil,
+    CORKPencilLR,
+    IarCorkLinearization,
+    NleigsCorkLinearization,
+    build_pencil,
+    low_rank_compress,
+    mobius_transform,
+    shift_and_scale,
+    taylor_expansion_pep,
+)
+from .solvers.rk import (
+    LinSolverCache,
+    discretizepolygon,
+    inpolygon,
+    lejabagby,
+    nleigs_coefficients,
+    ratnewtoncoeffs,
+    ratnewtoncoeffsm,
+    scgendivdiffs,
+)
 from .ops.orth import DGKS, ClassicalGS, ModifiedGS, orthogonalize_and_normalize
 from .solvers import (
+    nleigs,
     contour_beyn,
     contour_block_SS,
     MatrixIntegrator,

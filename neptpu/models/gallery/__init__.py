@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from . import basic, examples
 from .distributed import dep_distributed
+from .lowrank_sum import schrodinger_movebc
 
 __all__ = ["nep_gallery", "GALLERY"]
 
@@ -25,6 +26,7 @@ GALLERY = {
     "beam": examples.beam,
     "sine": examples.sine_nep,
     "dep_distributed": dep_distributed,
+    "schrodinger_movebc": schrodinger_movebc,
 }
 
 

@@ -17,6 +17,7 @@ from .contour import (
     contour_block_SS,
     integrate_interval,
 )
+from .nleigs import nleigs, NleigsSolutionDetails
 from .inner import (
     ContourBeynInnerSolver,
     DefaultInnerSolver,
@@ -31,6 +32,8 @@ from .inner import (
 )
 
 __all__ = [
+    "nleigs",
+    "NleigsSolutionDetails",
     "contour_beyn",
     "contour_block_SS",
     "MatrixIntegrator",

@@ -1,0 +1,68 @@
+"""RKNEP classification for NLEIGS (reference ``src/rk_helper/rk_nep.jl``):
+detects SPMF-ness, a PEP + SPMF split (``SPMFSumNEP(PEP, S)``), and low-rank
+structure of the nonlinear part."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...models.lowrank import LowRankFactorizedNEP
+from ...models.pep import PEP
+from ...models.spmf import AbstractSPMF
+from ...models.sumnep import SPMFSumNEP
+
+__all__ = ["RKNEP", "get_rk_nep"]
+
+
+class RKNEP:
+    def __init__(self, nep, spmf=False, p=0, q=0, is_low_rank=False, r=0, L=None, U=None):
+        self.nep = nep
+        self.spmf = spmf
+        self.p = p
+        self.q = q
+        self.is_low_rank = is_low_rank
+        self.r = r
+        self.L = L or []
+        self.U = U or []
+        if is_low_rank:
+            self.UU = np.hstack([np.asarray(u) for u in self.U])
+        else:
+            self.UU = None
+        self._Av = nep.get_Av() if spmf else None
+
+    def apply_weighted(self, coeffs, x):
+        """sum_i coeffs[i] * (Av[i] @ x) over the full get_Av list."""
+        x = jnp.asarray(x)
+        z = None
+        for c, A in zip(np.asarray(coeffs), self._Av):
+            t = (A @ x) if isinstance(A, jnp.ndarray) else A.matvec(x)
+            t = complex(c) * t
+            z = t if z is None else z + t
+        return z
+
+    def construct_D(self, nb, sgdd):
+        """Explicit generalized divided difference D_nb = sum_i sgdd[i, nb] Av[i]
+        (reference ``constructD``)."""
+        n = self.nep.n
+        D = None
+        for i, A in enumerate(self._Av):
+            Ad = A if isinstance(A, jnp.ndarray) else A.to_dense()
+            t = complex(sgdd[i, nb]) * Ad
+            D = t if D is None else D + t
+        return D
+
+
+def get_rk_nep(nep):
+    if not isinstance(nep, AbstractSPMF):
+        return RKNEP(nep, spmf=False)
+    Av = nep.get_Av()
+    if isinstance(nep, PEP):
+        return RKNEP(nep, spmf=True, p=len(Av) - 1, q=0)
+    if isinstance(nep, SPMFSumNEP) and isinstance(nep.nep1, PEP):
+        p = len(nep.nep1.get_Av()) - 1
+        q = len(nep.nep2.get_Av())
+        if q > 0 and isinstance(nep.nep2, LowRankFactorizedNEP):
+            return RKNEP(nep, spmf=True, p=p, q=q, is_low_rank=True,
+                         r=nep.nep2.r, L=list(nep.nep2.L), U=list(nep.nep2.U))
+        return RKNEP(nep, spmf=True, p=p, q=q)
+    return RKNEP(nep, spmf=True, p=-1, q=len(Av))
