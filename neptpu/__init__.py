@@ -34,6 +34,14 @@ from .models.lowrank import LowRankFactorizedNEP
 from .models.derspmf import DerSPMF
 from .models.helpers import Mder_NEP, Mder_Mlincomb_NEP, REP
 from .models.projection import Proj_NEP, Proj_SPMF_NEP, create_proj_NEP
+from .models.deflation import (
+    DeflatedGenericNEP,
+    DeflatedNEPMM,
+    DeflatedSPMF,
+    deflate_eigpair,
+    get_deflated_eigpairs,
+)
+from .ops.linsolve import DeflatedNEPLinSolver, DeflatedNEPLinSolverCreator
 from .ops import matfun
 from .ops import sparse
 from .ops.linsolve import (
@@ -78,6 +86,9 @@ from .solvers.rk import (
 )
 from .ops.orth import DGKS, ClassicalGS, ModifiedGS, orthogonalize_and_normalize
 from .solvers import (
+    jd_betcke,
+    jd_effenberger,
+    nlar,
     nleigs,
     contour_beyn,
     contour_block_SS,

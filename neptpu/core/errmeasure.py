@@ -44,7 +44,8 @@ class StandardSPMFErrmeasure(Errmeasure):
 
     def __init__(self, nep):
         self.nep = nep
-        self.coeffs = nep.bank.fro_norms if hasattr(nep, "bank") else None
+        bank = getattr(nep, "bank", None)
+        self.coeffs = bank.fro_norms if bank is not None else None
 
     def __call__(self, lam, v):
         nep = self.nep

@@ -33,6 +33,8 @@ __all__ = [
     "FactorizeLinSolverCreator",
     "BackslashLinSolverCreator",
     "GMRESLinSolverCreator",
+    "DeflatedNEPLinSolver",
+    "DeflatedNEPLinSolverCreator",
     "DefaultLinSolverCreator",
     "create_linsolver",
     "gmres",
@@ -165,9 +167,52 @@ class GMRESLinSolver(LinSolver):
 # ---------------------------------------------------------------------------
 
 
+class DeflatedNEPLinSolver(LinSolver):
+    """Schur-complement solve of the bordered deflated system [M U; X^H 0],
+    recycling the inner M-solver (reference ``LinSolvers.jl:194-252``;
+    assumes minimality index 1)."""
+
+    def __init__(self, deflated_nep, lam, orglinsolver):
+        self.deflated_nep = deflated_nep
+        self.lam = lam
+        self.orglinsolver = orglinsolver
+
+    def solve(self, b, tol=None):
+        from ..models.deflation import deflated_nep_compute_Q
+
+        dnep = self.deflated_nep
+        n = dnep.orgnep.n
+        m = dnep.p
+        b = jnp.asarray(b)
+        b1 = b[:n]
+        b2 = b[n:]
+        X = jnp.asarray(dnep.V0)
+        U = jnp.asarray(deflated_nep_compute_Q(dnep, self.lam, 0))
+        b1t = lin_solve(self.orglinsolver, b1, tol=tol)
+        Z = jnp.stack(
+            [lin_solve(self.orglinsolver, U[:, i], tol=tol) for i in range(m)], axis=1
+        )
+        S = -(X.conj().T @ Z)
+        v2 = jnp.linalg.solve(S, b2 - X.conj().T @ b1t)
+        v1 = b1t - Z @ v2
+        return jnp.concatenate([v1, v2])
+
+
 class LinSolverCreator:
     def create(self, nep, lam):
         raise NotImplementedError
+
+
+class DeflatedNEPLinSolverCreator(LinSolverCreator):
+    """Creator wrapping the original creator for the deflated bordered solve
+    (reference ``LinSolverCreators.jl:174-181``)."""
+
+    def __init__(self, orglinsolvercreator=None):
+        self.orglinsolvercreator = orglinsolvercreator
+
+    def create(self, nep, lam):
+        org = create_linsolver(self.orglinsolvercreator, nep.orgnep, lam)
+        return DeflatedNEPLinSolver(nep, lam, org)
 
 
 class FactorizeLinSolverCreator(LinSolverCreator):

@@ -18,6 +18,8 @@ from .contour import (
     integrate_interval,
 )
 from .nleigs import nleigs, NleigsSolutionDetails
+from .jd import jd_betcke, jd_effenberger
+from .nlar import nlar, default_eigval_sorter, residual_eigval_sorter, threshold_eigval_sorter
 from .inner import (
     ContourBeynInnerSolver,
     DefaultInnerSolver,
@@ -32,6 +34,12 @@ from .inner import (
 )
 
 __all__ = [
+    "jd_betcke",
+    "jd_effenberger",
+    "nlar",
+    "default_eigval_sorter",
+    "residual_eigval_sorter",
+    "threshold_eigval_sorter",
     "nleigs",
     "NleigsSolutionDetails",
     "contour_beyn",
