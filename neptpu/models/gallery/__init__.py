@@ -5,6 +5,15 @@ from __future__ import annotations
 from . import basic, examples
 from .distributed import dep_distributed
 from .lowrank_sum import schrodinger_movebc
+from .nlevp import (
+    gun_like,
+    nlevp_native_cd_player,
+    nlevp_native_fiber,
+    nlevp_native_gun,
+    nlevp_native_hadeler,
+    nlevp_native_loaded_string,
+    nlevp_native_pdde_stability,
+)
 
 __all__ = ["nep_gallery", "GALLERY"]
 
@@ -27,6 +36,13 @@ GALLERY = {
     "sine": examples.sine_nep,
     "dep_distributed": dep_distributed,
     "schrodinger_movebc": schrodinger_movebc,
+    "nlevp_native_gun": nlevp_native_gun,
+    "gun_like": gun_like,
+    "nlevp_native_cd_player": nlevp_native_cd_player,
+    "nlevp_native_fiber": nlevp_native_fiber,
+    "nlevp_native_hadeler": nlevp_native_hadeler,
+    "nlevp_native_pdde_stability": nlevp_native_pdde_stability,
+    "nlevp_native_loaded_string": nlevp_native_loaded_string,
 }
 
 

@@ -55,6 +55,15 @@ def scalar_as(lam, dtype):
     return jnp.asarray(lam, dtype=dtype)
 
 
+def vec_as(x, dtype):
+    """Cast a vector to dtype; for real dtype, drop the (negligible)
+    imaginary part explicitly to avoid complex->real cast warnings."""
+    x = jnp.asarray(x)
+    if np.dtype(dtype).kind == "f" and jnp.iscomplexobj(x):
+        x = x.real
+    return x.astype(dtype)
+
+
 def closest_to(lam_vec, lam):
     """Entry of lam_vec closest to lam (reference helper in resinv/rfi)."""
     lam_vec = np.atleast_1d(np.asarray(lam_vec))

@@ -20,6 +20,7 @@ from .common import (
     init_vec,
     scalar_as,
     setup_solver,
+    vec_as,
 )
 from .rf import compute_rf
 
@@ -123,7 +124,7 @@ def resinv(nep, dtype=None, errmeasure=None, tol=None, maxit=100, lam=0.0, v=Non
         lam_vec = compute_rf(dtype, nep, v, inner_solver, y=c, lam=lam, target=lam)
         lam1 = closest_to(lam_vec, lam)
         dlam = lam1 - lam
-        dv = -lin_solve(linsolver, compute_Mlincomb(nep, lam1, v[:, None], jnp.ones((1,)))).astype(dtype)
+        dv = vec_as(-lin_solve(linsolver, compute_Mlincomb(nep, lam1, v[:, None], jnp.ones((1,)))), dtype)
         dlam, dv, j, _ = armijo_rule(nep, em, err, lam, v, dlam, dv,
                                      armijo_factor, armijo_max)
         lam = lam + dlam
