@@ -86,6 +86,11 @@ from .solvers.rk import (
 )
 from .ops.orth import DGKS, ClassicalGS, ModifiedGS, orthogonalize_and_normalize
 from .solvers import (
+    broyden,
+    infbilanczos,
+    ilan,
+    iar_chebyshev,
+    blocknewton,
     jd_betcke,
     jd_effenberger,
     nlar,

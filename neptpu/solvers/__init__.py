@@ -19,6 +19,11 @@ from .contour import (
 )
 from .nleigs import nleigs, NleigsSolutionDetails
 from .jd import jd_betcke, jd_effenberger
+from .broyden import broyden
+from .infbilanczos import infbilanczos
+from .ilan import ilan
+from .iar_chebyshev import iar_chebyshev
+from .blocknewton import blocknewton
 from .nlar import nlar, default_eigval_sorter, residual_eigval_sorter, threshold_eigval_sorter
 from .inner import (
     ContourBeynInnerSolver,
@@ -34,6 +39,11 @@ from .inner import (
 )
 
 __all__ = [
+    "infbilanczos",
+    "ilan",
+    "iar_chebyshev",
+    "broyden",
+    "blocknewton",
     "jd_betcke",
     "jd_effenberger",
     "nlar",
