@@ -86,6 +86,8 @@ from .solvers.rk import (
 )
 from .ops.orth import DGKS, ClassicalGS, ModifiedGS, orthogonalize_and_normalize
 from .solvers import (
+    AAAeigs,
+    svAAA,
     broyden,
     infbilanczos,
     ilan,

@@ -23,6 +23,7 @@ from .broyden import broyden
 from .infbilanczos import infbilanczos
 from .ilan import ilan
 from .iar_chebyshev import iar_chebyshev
+from .aaa import AAAeigs, svAAA, get_prz
 from .blocknewton import blocknewton
 from .nlar import nlar, default_eigval_sorter, residual_eigval_sorter, threshold_eigval_sorter
 from .inner import (
@@ -39,6 +40,9 @@ from .inner import (
 )
 
 __all__ = [
+    "AAAeigs",
+    "svAAA",
+    "get_prz",
     "infbilanczos",
     "ilan",
     "iar_chebyshev",
