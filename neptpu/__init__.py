@@ -28,6 +28,7 @@ from .models.spmf import AbstractSPMF, SPMF_NEP
 from .models.dep import DEP
 from .models.pep import PEP
 from .models.gallery import nep_gallery
+from .models.gallery.waveguide import WEP_FD, WEPLinSolverCreator
 from .models.cheb import ChebPEP
 from .models.sumnep import GenericSumNEP, SPMFSumNEP, SumNEP
 from .models.lowrank import LowRankFactorizedNEP

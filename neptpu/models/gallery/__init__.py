@@ -5,6 +5,7 @@ from __future__ import annotations
 from . import basic, examples
 from .distributed import dep_distributed
 from .lowrank_sum import schrodinger_movebc
+from .waveguide import WEP_FD, WEPLinSolverCreator, wep_gallery
 from .nlevp import (
     gun_like,
     nlevp_native_cd_player,
@@ -43,6 +44,7 @@ GALLERY = {
     "nlevp_native_hadeler": nlevp_native_hadeler,
     "nlevp_native_pdde_stability": nlevp_native_pdde_stability,
     "nlevp_native_loaded_string": nlevp_native_loaded_string,
+    "waveguide": wep_gallery,
 }
 
 
