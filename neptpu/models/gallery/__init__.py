@@ -6,6 +6,9 @@ from . import basic, examples
 from .distributed import dep_distributed
 from .lowrank_sum import schrodinger_movebc
 from .waveguide import WEP_FD, WEPLinSolverCreator, wep_gallery
+from .periodic_dde import periodic_dde_gallery
+from .bem import bem_fichera
+from .dtn_dimer import load_dtn_dimer
 from .nlevp import (
     gun_like,
     nlevp_native_cd_player,
@@ -45,6 +48,9 @@ GALLERY = {
     "nlevp_native_pdde_stability": nlevp_native_pdde_stability,
     "nlevp_native_loaded_string": nlevp_native_loaded_string,
     "waveguide": wep_gallery,
+    "periodicdde": periodic_dde_gallery,
+    "bem_fichera": bem_fichera,
+    "dtn_dimer": load_dtn_dimer,
 }
 
 
@@ -52,9 +58,12 @@ def register(name, fn):
     GALLERY[name] = fn
 
 
-def nep_gallery(name, *params, **kwargs):
-    if name not in GALLERY:
+def nep_gallery(problem, *params, **kwargs):
+    """Look up and construct a gallery problem (reference ``Gallery.jl``).
+    The first argument is the registry key; remaining args are forwarded
+    (so e.g. ``nep_gallery("periodicdde", name="mathieu")`` works)."""
+    if problem not in GALLERY:
         raise ValueError(
-            f"unknown gallery problem '{name}'; available: {sorted(GALLERY)}"
+            f"unknown gallery problem '{problem}'; available: {sorted(GALLERY)}"
         )
-    return GALLERY[name](*params, **kwargs)
+    return GALLERY[problem](*params, **kwargs)
