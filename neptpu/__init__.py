@@ -26,7 +26,8 @@ from .core.errmeasure import (
 )
 from .models.spmf import AbstractSPMF, SPMF_NEP
 from .models.dep import DEP
-from .models.pep import PEP
+from .models.pep import PEP, interpolate_pep
+interpolate = interpolate_pep  # reference-name alias
 from .models.gallery import nep_gallery
 from .models.gallery.waveguide import WEP_FD, WEPLinSolverCreator
 from .models.cheb import ChebPEP

@@ -45,7 +45,7 @@ class DEP(AbstractSPMF):
             from ..ops.sparse import CSR
 
             eye = CSR.from_scipy(sp.eye(self.n, format="csr"), dtype=b.dtype)
-            return [eye] + [b.term_csr(i) for i in range(b.nterms)]
+            return [eye] + [b.term(i) for i in range(b.nterms)]
         eye = jnp.eye(self.n, dtype=b.dtype)
         return [eye] + [b.A[i] for i in range(b.nterms)]
 

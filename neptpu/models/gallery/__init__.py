@@ -9,6 +9,7 @@ from .waveguide import WEP_FD, WEPLinSolverCreator, wep_gallery
 from .periodic_dde import periodic_dde_gallery
 from .bem import bem_fichera
 from .dtn_dimer import load_dtn_dimer
+from .nlevp_bridge import nlevp_gallery_import
 from .nlevp import (
     gun_like,
     nlevp_native_cd_player,

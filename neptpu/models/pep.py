@@ -40,7 +40,7 @@ class PEP(AbstractSPMF):
     def get_Av(self):
         b = self.bank
         if b.is_sparse:
-            return [b.term_csr(i) for i in range(b.nterms)]
+            return [b.term(i) for i in range(b.nterms)]
         return [b.A[i] for i in range(b.nterms)]
 
     def get_fv(self):

@@ -80,7 +80,7 @@ class SPMF_NEP(AbstractSPMF):
     def get_Av(self):
         b = self.bank
         if b.is_sparse:
-            return [b.term_csr(i) for i in range(b.nterms)]
+            return [b.term(i) for i in range(b.nterms)]
         return [b.A[i] for i in range(b.nterms)]
 
     def get_fv(self):

@@ -125,6 +125,11 @@ class DiaTermBank:
     def term_dense(self, i):
         return DiaTermBank(self.data[i][None], self.offsets, self.shape).to_dense()
 
+    def term(self, i):
+        """Single-term view supporting matvec/matmat/to_dense/@ (the get_Av
+        operand contract)."""
+        return DiaTermBank(self.data[i][None], self.offsets, self.shape)
+
     def lincomb_apply_mat(self, W):
         """sum_i A_i @ W[:, :, i] for W (n, k, m) -> (n, k)."""
         dt = jnp.result_type(W, self.data)

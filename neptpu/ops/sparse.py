@@ -154,6 +154,9 @@ class DenseTermBank:
     def term_dense(self, i):
         return self.A[i]
 
+    def term(self, i):
+        return self.A[i]
+
     def combine(self, w):
         """sum_i w_i A_i as a dense (n, n) matrix."""
         w = jnp.asarray(w)
@@ -264,6 +267,9 @@ class SparseTermBank:
     def term_csr(self, i):
         return CSR(self.data[i], self.indices, self.row_ids, self.indptr, self.shape)
 
+    def term(self, i):
+        return self.term_csr(i)
+
     def term_dense(self, i):
         return self.term_csr(i).to_dense()
 
@@ -347,11 +353,12 @@ def make_term_bank(mats: Sequence[Any], dtype=None, prefer_sparse=None,
             offs = set()
             banded = True
             for A in seq:
-                od = A.todia(copy=False) if hasattr(A, "todia") else None
-                if od is None or len(od.offsets) > 48:
+                Ac = A.tocoo()
+                d = np.unique(Ac.col.astype(np.int64) - Ac.row.astype(np.int64))
+                if len(d) > 48:
                     banded = False
                     break
-                offs.update(od.offsets.tolist())
+                offs.update(d.tolist())
             if banded and len(offs) <= 48 and n >= 512:
                 return DiaTermBank.from_matrices(seq, dtype=dtype)
         return SparseTermBank.from_matrices(seq, dtype=dtype)
