@@ -10,8 +10,9 @@ with factorizations recycled per shift through ``LinSolverCache``
 ("batched shifted solves" on the TPU side: shifts repeat, so the cache is hit
 on all but the first visit).
 
-This implementation covers the full-rank path (plus the PEP-split metadata);
-the low-rank tail compression of ``P.is_low_rank`` follows in a later round.
+Low-rank tails (``SPMFSumNEP(PEP, LowRankFactorizedNEP)``) shrink the
+linearization block length from n to r in both the Krylov vectors and the
+structured solves (reference ``method_nleigs.jl:186-212,399-518``).
 """
 from __future__ import annotations
 
@@ -78,12 +79,16 @@ def nleigs(nep, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j), dtype=None,
     Sigma = list(Sigma)
     Xi = np.asarray(Xi, dtype=float)
     P = get_rk_nep(nep)
-    # low-rank exploitation not yet wired: fall back to the full-rank path
-    P.is_low_rank = False
     n = nep.n
     if n == 1:
         maxdgr = maxit + 1
-    computeD = n <= 400
+    # for low-rank tails the explicit D matrices are n x r (cheap), so always
+    # compute them; otherwise follow the reference's n <= 400 heuristic
+    computeD = (n <= 400) or P.is_low_rank
+    lr = P.is_low_rank
+    p_lr = P.p if lr else None
+    r_lr = P.r if lr else None
+    UUc = P.UU.conj().T if lr else None
     b = blksize
     cache = LinSolverCache(nep, linsolvercreator)
     rng0 = np.random.default_rng(0)
@@ -146,37 +151,57 @@ def nleigs(nep, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j), dtype=None,
         raise ValueError("The generalized divided differences must be finite.")
 
     # -- structured application of the shifted linearization inverse --------
+    def _blk(j):
+        """Block j slice: blocks 0..p-1 are n-sized; the low-rank tail blocks
+        (j >= p) are r-sized (reference ``backslash`` index arithmetic)."""
+        if not lr:
+            return slice(j * n, (j + 1) * n)
+        if j < p_lr:
+            return slice(j * n, (j + 1) * n)
+        start = p_lr * n + (j - p_lr) * r_lr
+        return slice(start, start + r_lr)
+
     def backslash(wc, k, N):
         shift = sigma[k]
-        kn = len(wc)
         Bw = np.zeros_like(wc)
-
-        def blk(j):
-            return slice(j * n, (j + 1) * n)
-
+        blk = _blk
+        if lr and N >= p_lr and len(D) > p_lr:
+            # extra first-block term (reference ``backslash`` low-rank head);
+            # only once the low-rank tail blocks exist (N >= p)
+            Bw[blk(0)] = -(D[p_lr] @ wc[_blk(p_lr - 1)]) / beta[p_lr]
         for ii in range(1, N + 1):
             fac = 0.0 if np.isinf(xi[ii - 1]) else beta[ii] / xi[ii - 1]
-            Bw[blk(ii)] = wc[blk(ii - 1)] + fac * wc[blk(ii)]
+            if lr and ii == p_lr:
+                Bw[blk(ii)] = UUc @ wc[blk(ii - 1)] + fac * wc[blk(ii)]
+            else:
+                Bw[blk(ii)] = wc[blk(ii - 1)] + fac * wc[blk(ii)]
         z = Bw.copy()
         nu = beta[1] * (1 - shift / xi[0]) if not np.isinf(xi[0]) else beta[1]
         z[blk(1)] = z[blk(1)] / nu
         for ii in range(1, N + 1):
             if (not P.spmf) or computeD:
-                z[blk(0)] -= D[ii] @ z[blk(ii)]
+                if not (lr and ii == p_lr):
+                    z[blk(0)] -= D[ii] @ z[blk(ii)]
             else:
                 z[blk(0)] -= np.asarray(P.apply_weighted(sgdd[:, ii], jnp.asarray(z[blk(ii)])))
             if ii < N:
                 # julia: mu = shift - sigma[ii+1] (1-based) -> sigma[ii] here
                 mu = shift - sigma[ii]
                 nu = beta[ii + 1] * (1 - shift / xi[ii]) if not np.isinf(xi[ii]) else beta[ii + 1]
-                z[blk(ii + 1)] = z[blk(ii + 1)] / nu + (mu / nu) * z[blk(ii)]
+                if lr and ii == p_lr - 1:
+                    z[blk(ii + 1)] = z[blk(ii + 1)] / nu + (mu / nu) * (UUc @ z[blk(ii)])
+                else:
+                    z[blk(ii + 1)] = z[blk(ii + 1)] / nu + (mu / nu) * z[blk(ii)]
         w = np.zeros_like(wc)
         add = ((not expand or k > kconv) and reusefact == 1) or reusefact == 2
         w[blk(0)] = np.asarray(cache.solve(shift, z[blk(0)] / beta[0], add))
         for ii in range(1, N + 1):
             mu = shift - sigma[ii - 1]
             nu = beta[ii] * (1 - shift / xi[ii - 1]) if not np.isinf(xi[ii - 1]) else beta[ii]
-            w[blk(ii)] = (mu / nu) * w[blk(ii - 1)] + Bw[blk(ii)] / nu
+            if lr and ii == p_lr:
+                w[blk(ii)] = (mu / nu) * (UUc @ w[blk(ii - 1)]) + Bw[blk(ii)] / nu
+            else:
+                w[blk(ii)] = (mu / nu) * w[blk(ii - 1)] + Bw[blk(ii)] / nu
         return w
 
     # -- rational Krylov ----------------------------------------------------
@@ -209,7 +234,7 @@ def nleigs(nep, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j), dtype=None,
                 Res = _resize(Res, Res.shape[0] + b, Res.shape[1] + b).real
 
         if expand:
-            kn += n
+            kn += n if (not lr or k < p_lr) else r_lr
             if P.spmf and computeD:
                 D.append(np.asarray(P.construct_D(k, sgdd)))
             N += 1

@@ -41,9 +41,15 @@ class RKNEP:
         return z
 
     def construct_D(self, nb, sgdd):
-        """Explicit generalized divided difference D_nb = sum_i sgdd[i, nb] Av[i]
-        (reference ``constructD``)."""
+        """Explicit generalized divided difference (reference ``constructD``):
+        full n x n for nb <= p; for the low-rank tail (nb > p) the compact
+        n x r matrix hcat_i(sgdd[p+1+i, nb] * L_i)."""
         n = self.nep.n
+        if self.is_low_rank and nb > self.p:
+            cols = []
+            for i in range(self.q):
+                cols.append(complex(sgdd[self.p + 1 + i, nb]) * np.asarray(self.L[i]))
+            return np.hstack(cols)
         D = None
         for i, A in enumerate(self._Av):
             Ad = A if isinstance(A, jnp.ndarray) else A.to_dense()

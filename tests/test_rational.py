@@ -177,3 +177,38 @@ def test_taylor_expansion_pep():
     M0 = np.asarray(nep.Mder_dense(lam))
     M1 = np.asarray(pep.Mder_dense(lam))
     assert np.linalg.norm(M0 - M1) < 1e-8
+
+
+def test_nleigs_nep_types():
+    """The same quadratic solved through five NEP representations
+    (reference ``test/nleigs/nleigs_nep_types.jl``), including the low-rank
+    CORK tail and a pure-callback NEP."""
+    import scipy.sparse as sp
+
+    from neptpu import LowRankFactorizedNEP, Mder_NEP, SPMF_NEP, SumNEP, matfun
+
+    B = [np.array([[1.0, 3], [5, 6]]), np.array([[3.0, 4], [6, 6]])]
+    C = np.eye(2)
+    fsq = lambda S: (np.asarray(S) @ np.asarray(S)) if np.asarray(S).ndim >= 2 else np.asarray(S) ** 2
+    pep_full = neptpu.PEP(B + [C])
+
+    def mder_cb(lam, der):
+        return np.asarray(pep_full.Mder_dense(lam, der))
+
+    problems = [
+        ("SPMF_NEP", SPMF_NEP(B + [C], [matfun.eye_like, lambda S: np.asarray(S) + 0j * np.asarray(S), fsq])),
+        ("PEP", pep_full),
+        ("PEP+SPMF", SumNEP(neptpu.PEP(B), SPMF_NEP([C], [fsq]))),
+        ("PEP+LowRank", SumNEP(neptpu.PEP(B),
+                               LowRankFactorizedNEP([sp.csr_matrix(np.eye(2))],
+                                                    [sp.csr_matrix(np.eye(2))], [fsq],
+                                                    A=[np.eye(2)]))),
+        ("callback", Mder_NEP(2, mder_cb)),
+    ]
+    true = _true_eigs(pep_full)
+    for name, nepx in problems:
+        lam, X, res, _ = nleigs(nepx, SIGMA, maxit=10, v=np.ones(2) + 0j, blksize=5)
+        lam = np.asarray(lam)
+        assert len(lam) == 4, name
+        for t in true:
+            assert np.min(np.abs(lam - t)) < 1e-6, name

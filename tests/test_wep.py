@@ -89,3 +89,15 @@ def test_wep_jarlebring_gmres_preconditioned(wep_jarlebring):
     x = np.asarray(solver.solve(b))
     r = np.asarray(compute_Mlincomb(nep, lam0, x))
     assert np.linalg.norm(r - b) / np.linalg.norm(b) < 1e-8
+
+
+def test_wep_jarlebring_iar(wep_jarlebring):
+    """iar finds 3 eigenpairs including lam_ref within 100 iterations
+    (reference ``wep_small.jl:66-76``)."""
+    nep = wep_jarlebring
+    lams, Q, V = neptpu.iar(nep, sigma=-3 - 3.5j, neigs=3, maxit=100,
+                            v=np.ones(nep.n) / np.sqrt(nep.n), tol=1e-8,
+                            linsolvercreator=WEPLinSolverCreator(solver_type=":factorized"))
+    lams = np.asarray(lams)
+    assert len(lams) >= 3
+    assert np.min(np.abs(lams - JARLEBRING_REF)) < 1e-10
