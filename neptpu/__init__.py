@@ -94,6 +94,7 @@ from .solvers import (
     infbilanczos,
     ilan,
     iar_chebyshev,
+    iar_jitted,
     blocknewton,
     jd_betcke,
     jd_effenberger,

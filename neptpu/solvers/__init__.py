@@ -23,6 +23,7 @@ from .broyden import broyden
 from .infbilanczos import infbilanczos
 from .ilan import ilan
 from .iar_chebyshev import iar_chebyshev
+from .iar_jit import iar_jitted, iar_scan_kernel
 from .aaa import AAAeigs, svAAA, get_prz
 from .blocknewton import blocknewton
 from .nlar import nlar, default_eigval_sorter, residual_eigval_sorter, threshold_eigval_sorter
@@ -40,6 +41,8 @@ from .inner import (
 )
 
 __all__ = [
+    "iar_jitted",
+    "iar_scan_kernel",
     "AAAeigs",
     "svAAA",
     "get_prz",

@@ -146,3 +146,21 @@ def test_iar_proj_solve():
     for i in range(len(np.asarray(lams))):
         r = float(compute_resnorm(nep, np.asarray(lams)[i], Q[:, i]))
         assert r / float(jnp.linalg.norm(Q[:, i])) < 1e-8
+
+
+def test_iar_jitted_matches_iar():
+    """The fully-compiled lax.scan IAR (padded buffers, no host round-trips)
+    reproduces the Python-loop IAR spectra."""
+    from neptpu import iar_jitted
+
+    nep = nep_gallery("dep0")
+    l1, Q1, _ = iar(nep, sigma=0.0, neigs=3, maxit=40, v=np.ones(5), tol=1e-10)
+    l2, Q2, _ = iar_jitted(nep, sigma=0.0, neigs=3, maxit=40, v=np.ones(5), tol=1e-10)
+    l1 = np.asarray(l1)
+    l2 = np.asarray(l2)
+    assert len(l2) >= 3
+    for lam in l1:
+        d = min(np.min(np.abs(l2 - lam)), np.min(np.abs(l2 - np.conj(lam))))
+        assert d < 1e-8
+    for i in range(len(l2)):
+        assert float(compute_resnorm(nep, l2[i], np.asarray(Q2)[:, i])) < 1e-8
