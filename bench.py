@@ -4,10 +4,19 @@ North-star metric from BASELINE.json: SpMV nnz/s per chip driving
 compute_Mlincomb.  The problem is a gun-scale banded SPMF bank (2D-stencil
 bands, the structure of the gallery's FD/FEM operators) in float32.
 
-The measured kernel is the framework's auto-selected stacked-DIA streaming
-layout (no gathers).  ``vs_baseline`` reports its speedup over the
+The measured kernel is the framework's auto-selected path for this bank —
+on TPU, the Pallas double-buffered stacked-DIA streaming kernel
+(``neptpu/ops/pallas_spmv.py``): no gathers, operand windows DMA'd with halo
+and overlapped with compute.  ``vs_baseline`` reports its speedup over the
 gather+segment-sum CSR kernel on the same operands — the direct mapping of
 the reference's per-term SpMV loop (``NEPTypes.jl:972-1011``) to TPU.
+
+Timing methodology: on a tunneled/async TPU runtime, ``block_until_ready``
+and repeated same-argument dispatch are not reliable clocks.  Each op is
+timed as the SLOPE of wall time over chain length for a data-dependent chain
+(output feeds the next input) terminated by a host value fetch, minus the
+slope of the chain scaffolding alone.  This measures true sequential device
+time per application.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -35,6 +44,33 @@ def build_problem(n, m, seed=7):
     return mats
 
 
+def chain_slope(step, W0, reps=4, target_span=0.1):
+    """Per-op seconds: slope of a data-dependent chain ended by a host fetch.
+
+    The fetch round-trip through the tunnel is ~30 ms with ~10 ms jitter, so
+    the chain span K2-K1 is sized until the op signal dominates that noise.
+    """
+    import jax.numpy as jnp
+
+    def run(K):
+        y = W0
+        t0 = time.perf_counter()
+        for _ in range(K):
+            y = step(y)
+        float(jnp.sum(y[:1, :].astype(jnp.float32)))  # force completion
+        return time.perf_counter() - t0
+
+    run(1)  # compile step AND the fetch mini-ops outside any timed region
+    # rough estimate to size the span
+    t1 = min(run(1) for _ in range(2))
+    t21 = min(run(21) for _ in range(2))
+    est = max((t21 - t1) / 20, 1e-6)
+    K2 = 1 + int(min(max(target_span / est, 20), 2000))
+    tK1 = min(run(1) for _ in range(reps))
+    tK2 = min(run(K2) for _ in range(reps))
+    return (tK2 - tK1) / (K2 - 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -51,26 +87,29 @@ def main():
     bank_csr = SparseTermBank.from_matrices(mats, dtype=np.float32)
 
     rng = np.random.default_rng(0)
-    W = jnp.asarray(rng.standard_normal((n, m)).astype(np.float32))
+    W0 = jnp.asarray(rng.standard_normal((n, m)).astype(np.float32))
 
-    f_dia = jax.jit(bank_dia.lincomb_apply)
-    f_csr = jax.jit(bank_csr.lincomb_apply)
-
-    y1 = f_dia(W).block_until_ready()
-    y2 = f_csr(W).block_until_ready()
+    # correctness cross-check of the two kernels
+    y1 = jax.jit(bank_dia.lincomb_apply)(W0).block_until_ready()
+    y2 = jax.jit(bank_csr.lincomb_apply)(W0).block_until_ready()
     scale = float(jnp.linalg.norm(y2))
     assert float(jnp.linalg.norm(y1 - y2)) < 1e-3 * scale
 
-    def timeit(fn, iters):
-        fn(W).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(W)
-        out.block_until_ready()
-        return (time.perf_counter() - t0) / iters
+    def make_step(bank):
+        @jax.jit
+        def step(W):
+            y = bank.lincomb_apply(W)
+            return W + 1e-20 * y[:, None]  # data dependency for the chain
 
-    t_dia = timeit(f_dia, 50)
-    t_csr = timeit(f_csr, 5)
+        return step
+
+    @jax.jit
+    def feed_only(W):  # chain scaffolding alone, for slope calibration
+        return W + 1e-20 * W[:, :1]
+
+    t_feed = chain_slope(feed_only, W0)
+    t_dia = max(chain_slope(make_step(bank_dia), W0) - t_feed, 1e-9)
+    t_csr = max(chain_slope(make_step(bank_csr), W0) - t_feed, 1e-9)
 
     result = {
         "metric": "fused_mlincomb_spmv_nnz_per_s_per_chip",

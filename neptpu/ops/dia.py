@@ -82,9 +82,36 @@ class DiaTermBank:
             return jnp.concatenate([X[off:], z], axis=0)
         return jnp.concatenate([z, X[:off]], axis=0)
 
+    def _pallas_ok(self, dt):
+        """Use the Pallas streaming kernel: TPU backend, real f32/bf16 data,
+        large enough that kernel launch is amortized."""
+        import os
+
+        if os.environ.get("NEPTPU_NO_PALLAS"):
+            return False
+        if dt not in (jnp.float32, jnp.bfloat16):
+            return False
+        if self.shape[0] < 65536 or not self.offsets:
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
     def lincomb_apply(self, W):
-        """y = sum_i A_i @ W[:, i]: ndiag streaming FMAs, no gathers."""
+        """y = sum_i A_i @ W[:, i]: ndiag streaming FMAs, no gathers.
+
+        On TPU with real f32/bf16 operands this dispatches to the Pallas
+        double-buffered streaming kernel (``ops/pallas_spmv.py``); the pure
+        XLA path below is the portable fallback (CPU tests, complex dtypes).
+        """
         dt = jnp.result_type(W, self.data)
+        if self._pallas_ok(dt):
+            from .pallas_spmv import dia_lincomb_pallas
+
+            return dia_lincomb_pallas(
+                self.data.astype(dt), self.offsets, W.astype(dt)
+            )
         W = W.astype(dt)
         y = jnp.zeros((self.shape[0],), dtype=dt)
         for d, off in enumerate(self.offsets):
