@@ -95,6 +95,7 @@ from .solvers import (
     ilan,
     iar_chebyshev,
     iar_jitted,
+    iar_real,
     blocknewton,
     jd_betcke,
     jd_effenberger,
