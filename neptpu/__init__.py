@@ -135,4 +135,57 @@ from .solvers import (
     sgiter,
 )
 
+# ---- reference-name parity layer -----------------------------------------
+# The reference exports these exact names (grep `export` over
+# /root/reference/src); expose them here so a NEP-PACK user finds everything
+# at the top level under the name they know.
+from .core.nep import (
+    mder_from_mm as compute_Mder_from_MM,
+    mlincomb_from_mm as compute_Mlincomb_from_MM,
+    mlincomb_from_mder as compute_Mlincomb_from_Mder,
+)
+from .core.logger import push_info, push_iteration_info
+from .models.deflation import DeflatedNEP
+from .models.lowrank import LowRankMatrixAndFunction
+from .models.gallery.waveguide import WEP, wep_gallery, wep_generate_preconditioner
+from .models.gallery.distributed import (
+    gauss_legendre_weights,
+    distributed_kernel_gauss_legendre,
+    distributed_kernel_trapezoidal,
+)
+from .transforms import CorkLinearization, DefaultCorkLinearization
+from .solvers import (
+    NleigsSolutionDetails,
+    default_eigval_sorter,
+    residual_eigval_sorter,
+    threshold_eigval_sorter,
+)
+from .solvers.rk.rknep import RKNEP, get_rk_nep
+from .utils.serialization import read_sparse_matrix, write_sparse_matrix
+
+buildPencil = build_pencil
+lowRankCompress = low_rank_compress
+jd = jd_betcke
+
+
+def get_Av(nep):
+    """SPMF term matrices (reference ``NEPTypes.jl:95-104``)."""
+    return nep.get_Av()
+
+
+def get_fv(nep):
+    """SPMF term functions (reference ``NEPTypes.jl:106-113``)."""
+    return nep.get_fv()
+
+
+def set_projectmatrices(proj_nep, W, V):
+    """Module-level form of the reference's ``set_projectmatrices!``."""
+    return proj_nep.set_projectmatrices(W, V)
+
+
+def expand_projectmatrices(proj_nep, Wnew, Vnew):
+    """Module-level form of the reference's ``expand_projectmatrices!``."""
+    return proj_nep.expand_projectmatrices(Wnew, Vnew)
+
+
 __version__ = "0.1.0"

@@ -9,7 +9,18 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["Logger", "PrintLogger", "ErrorLogger", "parse_logger"]
+__all__ = ["Logger", "PrintLogger", "ErrorLogger", "parse_logger",
+           "push_info", "push_iteration_info"]
+
+
+def push_info(logger, msg, level: int = 1):
+    """Module-level form of the reference's ``push_info!`` (``logger.jl``)."""
+    parse_logger(logger).info(msg, level=level)
+
+
+def push_iteration_info(logger, iter_idx, errs=None, lams=None, level: int = 1):
+    """Module-level form of the reference's ``push_iteration_info!``."""
+    parse_logger(logger).iteration(iter_idx, errs=errs, lams=lams, level=level)
 
 
 class Logger:

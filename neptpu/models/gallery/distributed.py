@@ -11,7 +11,9 @@ import numpy as np
 from ...ops import matfun
 from ..spmf import SPMF_NEP
 
-__all__ = ["dep_distributed", "DEP_DISTRIBUTED_EIGENVALUES"]
+__all__ = ["dep_distributed", "DEP_DISTRIBUTED_EIGENVALUES",
+           "gauss_legendre_weights", "distributed_kernel_gauss_legendre",
+           "distributed_kernel_trapezoidal"]
 
 DEP_DISTRIBUTED_EIGENVALUES = np.array(
     [
@@ -55,6 +57,30 @@ def distributed_kernel_gauss_legendre(S, N=10):
             E = matfun.expm(float(xv[0]) * S)
         else:
             E = E @ matfun.expm(float(xv[i] - xv[i - 1]) * S)
+        F = F + E * float(fvals[i] * wv[i])
+    return F[0, 0] if scalar else F
+
+
+def distributed_kernel_trapezoidal(S, N=1000):
+    """Trapezoidal-rule variant of the distributed kernel (reference
+    ``distributed_example.jl:52-70``), kept for cross-validation of the
+    Gauss-Legendre path."""
+    S = jnp.asarray(S)
+    scalar = S.ndim == 0
+    if scalar:
+        S = S.reshape(1, 1)
+    h = 1.0 / N
+    xv = np.arange(N + 1) * h - 1.0
+    wv = np.full(N + 1, h)
+    wv[0] *= 0.5
+    wv[-1] *= 0.5
+    fvals = np.exp((xv + 0.5) ** 2) - np.exp(0.25)
+    Eh = matfun.expm(h * S)  # exp(x_{i+1} S) = exp(x_i S) exp(h S)
+    E = matfun.expm(float(xv[0]) * S)
+    F = jnp.zeros_like(S)
+    for i in range(N + 1):
+        if i > 0:
+            E = E @ Eh
         F = F + E * float(fvals[i] * wv[i])
     return F[0, 0] if scalar else F
 

@@ -260,7 +260,12 @@ def assemble_waveguide_spmf_fd(nx, nz, hx, Dxx, Dzz, Dz, C1, C2T, K, Km, Kp):
 # -- native WEP_FD (reference ``Waveguide.jl:200-379``) ---------------------
 
 
-class WEP_FD(NEP):
+class WEP(NEP):
+    """Abstract marker for waveguide eigenvalue problems (reference
+    ``GalleryWaveguide.jl:35``: ``abstract type WEP <: NEP end``)."""
+
+
+class WEP_FD(WEP):
     def __init__(self, nx, nz, hx, hz, Dxx, Dzz, Dz, C1, C2T, K, Km, Kp):
         self.nx = nx
         self.nz = nz

@@ -8,7 +8,53 @@ import numpy as np
 
 from .spmf import AbstractSPMF, SPMF_NEP
 
-__all__ = ["LowRankFactorizedNEP"]
+__all__ = ["LowRankFactorizedNEP", "LowRankMatrixAndFunction",
+           "low_rank_factors"]
+
+
+def low_rank_factors(A, tol=None):
+    """Compact factors ``A = L @ U^H`` of a (sparse) matrix whose nonzeros
+    live in a small bounding box (reference ``rk_nep.jl:71-98`` uses a
+    bounding-box LU + compaction; here a bounding-box SVD gives the same
+    compact factors without the unpivoted-LU caveat the reference TODOs)."""
+    import scipy.sparse as sp
+
+    if sp.issparse(A):
+        Ac = A.tocoo()
+        n, m = Ac.shape
+        if Ac.nnz == 0:
+            return np.zeros((n, 0)), np.zeros((m, 0))
+        r0, r1 = Ac.row.min(), Ac.row.max() + 1
+        c0, c1 = Ac.col.min(), Ac.col.max() + 1
+        B = np.asarray(Ac.tocsr()[r0:r1, c0:c1].toarray())
+    else:
+        B = np.asarray(A)
+        n, m = B.shape
+        r0, r1, c0, c1 = 0, n, 0, m
+    Us, s, Vh = np.linalg.svd(B, full_matrices=False)
+    if tol is None:
+        tol = max(B.shape) * np.finfo(s.dtype).eps * (s[0] if s.size else 0.0)
+    r = int(np.sum(s > tol))
+    L = np.zeros((n, r), dtype=B.dtype)
+    U = np.zeros((m, r), dtype=B.dtype)
+    L[r0:r1] = Us[:, :r] * s[:r]
+    U[c0:c1] = Vh[:r].conj().T
+    return L, U
+
+
+class LowRankMatrixAndFunction:
+    """One low-rank term ``(A = L U^H, f)`` (reference ``rk_nep.jl:43-57``).
+
+    Either pass precomputed ``L``/``U`` factors, or just ``A`` and the
+    compact factorization is computed from its nonzero bounding box."""
+
+    def __init__(self, A, f, L=None, U=None):
+        if L is None or U is None:
+            L, U = low_rank_factors(A)
+        self.A = A
+        self.L = L
+        self.U = U
+        self.f = f
 
 
 def _dense(A):
@@ -30,6 +76,18 @@ class LowRankFactorizedNEP(AbstractSPMF):
         self.r = sum(Ui.shape[1] for Ui in U)
         self.spmf = SPMF_NEP(A, list(f))
         self.n = self.spmf.n
+
+    @classmethod
+    def from_amf(cls, amf):
+        """Build from a list of :class:`LowRankMatrixAndFunction` (the
+        reference's vector constructor, ``rk_nep.jl:59-69``)."""
+        def term_matrix(m):
+            if m.A is None or getattr(m.A, "size", 0) == 0:
+                return np.asarray(_dense(m.L)) @ np.asarray(_dense(m.U)).conj().T
+            return m.A
+
+        return cls([m.L for m in amf], [m.U for m in amf],
+                   [m.f for m in amf], A=[term_matrix(m) for m in amf])
 
     @property
     def bank(self):

@@ -23,12 +23,22 @@ def _dense(M):
     return np.asarray(M if isinstance(M, (np.ndarray, jnp.ndarray)) else M.to_dense())
 
 
-class IarCorkLinearization:
+class CorkLinearization:
+    """Strategy base for CORKPencil construction (reference
+    ``NEPTransformations.jl:283``)."""
+
+
+class IarCorkLinearization(CorkLinearization):
     def __init__(self, d: int = 10):
         self.d = d
 
 
-class NleigsCorkLinearization:
+class DefaultCorkLinearization(IarCorkLinearization):
+    """Default strategy (reference ``NEPTransformations.jl:285``; the
+    reference leaves it TODO — here it is the IAR/Taylor linearization)."""
+
+
+class NleigsCorkLinearization(CorkLinearization):
     def __init__(self, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j),
                  Xi=(np.inf,), maxdgr: int = 100, tollin: float = 1e-6):
         self.Sigma = list(Sigma)
