@@ -8,7 +8,16 @@ from .shift_scale import (
     shift_and_scale,
     taylor_expansion_pep,
 )
-from .cork import CORKPencil, CORKPencilLR, IarCorkLinearization, NleigsCorkLinearization, build_pencil, low_rank_compress
+from .cork import (
+    CORKPencil,
+    CORKPencilLR,
+    CorkLinearization,
+    DefaultCorkLinearization,
+    IarCorkLinearization,
+    NleigsCorkLinearization,
+    build_pencil,
+    low_rank_compress,
+)
 
 __all__ = [
     "shift_and_scale",
@@ -20,6 +29,8 @@ __all__ = [
     "CORKPencilLR",
     "build_pencil",
     "low_rank_compress",
+    "CorkLinearization",
+    "DefaultCorkLinearization",
     "IarCorkLinearization",
     "NleigsCorkLinearization",
 ]
