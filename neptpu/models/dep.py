@@ -108,7 +108,8 @@ class DEP(AbstractSPMF):
         a = jnp.asarray(a)
         lam = jnp.asarray(lam)
         C = self._exp_coeffs(lam, k, a, startder)  # (m, k)
-        W = V.astype(C.dtype) @ C.T  # (n, m)
+        wdt = jnp.promote_types(V.dtype, C.dtype)
+        W = V.astype(wdt) @ C.T.astype(wdt)  # (n, m)
         y = self.bank.lincomb_apply(W)
         # the -lam*I term contributes only at derivative orders 0 and 1
         if startder == 0:

@@ -88,8 +88,14 @@ class FactorizeLinSolver(LinSolver):
         self.lu = _lu_factor(A)
 
     def solve(self, b, tol=None):
-        b = jnp.asarray(b, dtype=self.dtype)
-        return _lu_solve(self.lu, b)
+        b = jnp.asarray(b)
+        if jnp.iscomplexobj(b) and not jnp.iscomplexobj(jnp.zeros((), self.dtype)):
+            # real factorization, complex RHS: solve the parts (exact; avoids
+            # a lossy complex->real cast)
+            return _lu_solve(self.lu, b.real.astype(self.dtype)) + 1j * _lu_solve(
+                self.lu, b.imag.astype(self.dtype)
+            )
+        return _lu_solve(self.lu, b.astype(self.dtype))
 
 
 class BackslashLinSolver(LinSolver):
@@ -100,7 +106,9 @@ class BackslashLinSolver(LinSolver):
         self.A = _dense_mder(nep, lam)
 
     def solve(self, b, tol=None):
-        return jnp.linalg.solve(self.A, jnp.asarray(b, dtype=self.A.dtype))
+        b = jnp.asarray(b)
+        dt = jnp.promote_types(self.A.dtype, b.dtype)
+        return jnp.linalg.solve(self.A.astype(dt), b.astype(dt))
 
 
 @partial(jax.jit, static_argnames=("matvec", "restart", "maxiter"))

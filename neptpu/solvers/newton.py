@@ -122,7 +122,7 @@ def resinv(nep, dtype=None, errmeasure=None, tol=None, maxit=100, lam=0.0, v=Non
         if float(err) < tol:
             return scalar_as(lam, dtype), v
         lam_vec = compute_rf(dtype, nep, v, inner_solver, y=c, lam=lam, target=lam)
-        lam1 = closest_to(lam_vec, lam)
+        lam1 = np.asarray(scalar_as(closest_to(lam_vec, lam), dtype))[()]
         dlam = lam1 - lam
         dv = vec_as(-lin_solve(linsolver, compute_Mlincomb(nep, lam1, v[:, None], jnp.ones((1,)))), dtype)
         dlam, dv, j, _ = armijo_rule(nep, em, err, lam, v, dlam, dv,
