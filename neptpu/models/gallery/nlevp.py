@@ -32,13 +32,33 @@ __all__ = [
 GUN_SIGMA2 = 108.8774  # second branch point sqrt(lam - sigma2^2)
 
 
+def _i_sqrt_shifted(c):
+    """f(S) = i * sqrt(S - c I) with exact host-side derivatives
+    d^j/dl^j [i sqrt(l-c)] = i sqrt(l-c) prod_{t<j} (1/2 - t) / (l-c)^j."""
+
+    def f(S):
+        S = jnp.asarray(S)
+        if c == 0.0:
+            return 1j * matfun.sqrtm(S)
+        return 1j * matfun.sqrtm(S - c * matfun.eye_like(S))
+
+    def derivs(lam, k):
+        z = complex(lam) - c
+        out = np.zeros(k, dtype=complex)
+        coef = 1j * np.sqrt(z + 0j)
+        out[0] = coef
+        for j in range(1, k):
+            coef = coef * (0.5 - (j - 1)) / z
+            out[j] = coef
+        return out
+
+    return matfun.with_derivs(f, derivs)
+
+
 def _gun_from_matrices(K, M, W1, W2):
     pep = PEP([K, -M])
-    sqrt1op = lambda S: 1j * matfun.sqrtm(jnp.asarray(S))
-    sqrt2op = lambda S: 1j * matfun.sqrtm(
-        jnp.asarray(S) - GUN_SIGMA2**2 * matfun.eye_like(S)
-    )
-    sqrtnep = SPMF_NEP([W1, W2], [sqrt1op, sqrt2op])
+    sqrtnep = SPMF_NEP([W1, W2],
+                       [_i_sqrt_shifted(0.0), _i_sqrt_shifted(GUN_SIGMA2**2)])
     return SumNEP(pep, sqrtnep)
 
 

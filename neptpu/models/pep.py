@@ -44,6 +44,8 @@ class PEP(AbstractSPMF):
         return [b.A[i] for i in range(b.nterms)]
 
     def get_fv(self):
+        from ..ops import matfun
+
         def mono(d):
             def f(S):
                 S = jnp.asarray(S)
@@ -51,7 +53,15 @@ class PEP(AbstractSPMF):
                     return jnp.eye(S.shape[-1], dtype=S.dtype)
                 return jnp.linalg.matrix_power(S, d)
 
-            return f
+            def derivs(lam, k):
+                import numpy as np
+
+                out = np.zeros(k, dtype=complex)
+                for j in range(min(k, d + 1)):
+                    out[j] = _falling(d, j) * lam ** (d - j)
+                return out
+
+            return matfun.with_derivs(f, derivs)
 
         return [mono(d) for d in range(self.degree + 1)]
 

@@ -33,6 +33,29 @@ def fun_scalar(f, lam):
     return f(lam.reshape(1, 1))[0, 0]
 
 
+def _check_fv_consistency(fv):
+    """Construction-time sanity check of term functions: each ``f_i`` must map
+    a small dense matrix to a matrix of the same shape (the matrix-function
+    contract every compute path relies on).  Mirrors the reference's
+    ``@code_typed`` return-type inspection (``NEPTypes.jl:190-204``) — a
+    wrong-shaped ``f_i`` fails here with a clear error instead of deep inside
+    a jit trace."""
+    S = jnp.asarray([[0.31 + 0.11j, 0.02], [0.0, 0.37 + 0.13j]])
+    for i, f in enumerate(fv):
+        try:
+            out = f(S)
+        except Exception:
+            continue  # cannot probe (e.g. dtype-restricted backend); trust it
+        shape = getattr(out, "shape", None)
+        if shape != S.shape:
+            raise ValueError(
+                f"SPMF term function fv[{i}] is not a matrix function: "
+                f"f(2x2 matrix) returned shape {shape}, expected {S.shape}. "
+                "Term functions must map k x k matrices to k x k matrices "
+                "(use neptpu.matfun primitives)."
+            )
+
+
 class AbstractSPMF(NEP):
     """Interface: get_Av() operand list, get_fv() matrix-function list
     (reference ``NEPTypes.jl:86-113``)."""
@@ -62,7 +85,8 @@ class SPMF_NEP(AbstractSPMF):
     """
 
     def __init__(self, Av: Sequence, fv: Sequence[Callable], dtype=None,
-                 align_sparsity_patterns: bool = True, bank=None):
+                 align_sparsity_patterns: bool = True, bank=None,
+                 check_consistency: bool = True):
         if bank is None:
             bank = make_term_bank(Av, dtype=dtype)
         self.bank = bank
@@ -71,6 +95,8 @@ class SPMF_NEP(AbstractSPMF):
             raise ValueError(
                 f"got {bank.nterms} matrices but {len(self.fv)} functions"
             )
+        if check_consistency:
+            _check_fv_consistency(self.fv)
         self.n = bank.n
 
     @property

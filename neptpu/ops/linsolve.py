@@ -85,15 +85,18 @@ class FactorizeLinSolver(LinSolver):
     def __init__(self, nep, lam, umfpack_refinements: int = 2):
         A = _dense_mder(nep, lam)
         self.dtype = A.dtype
+        self._is_complex = np.issubdtype(np.dtype(self.dtype), np.complexfloating)
         self.lu = _lu_factor(A)
 
     def solve(self, b, tol=None):
         b = jnp.asarray(b)
-        if jnp.iscomplexobj(b) and not jnp.iscomplexobj(jnp.zeros((), self.dtype)):
+        if jnp.iscomplexobj(b) and not self._is_complex:
             # real factorization, complex RHS: solve the parts (exact; avoids
-            # a lossy complex->real cast)
-            return _lu_solve(self.lu, b.real.astype(self.dtype)) + 1j * _lu_solve(
-                self.lu, b.imag.astype(self.dtype)
+            # a lossy complex->real cast). jax.lax.complex avoids a weak
+            # complex128 constant, which the TPU backend cannot compile.
+            return jax.lax.complex(
+                _lu_solve(self.lu, b.real.astype(self.dtype)),
+                _lu_solve(self.lu, b.imag.astype(self.dtype)),
             )
         return _lu_solve(self.lu, b.astype(self.dtype))
 
@@ -158,9 +161,12 @@ class GMRESLinSolver(LinSolver):
             return jnp.stack(cols, axis=1)
         t = self.tol if tol is None else tol
         M = self.preconditioner
+        # Promote rather than truncate: a complex RHS on a real-dtype solver
+        # must not be cast to real (same bug class as FactorizeLinSolver).
+        dt = jnp.promote_types(self.dtype, b.dtype)
         x, _ = jax.scipy.sparse.linalg.gmres(
             self._matvec,
-            b.astype(self.dtype),
+            b.astype(dt),
             tol=t,
             restart=self.restart,
             maxiter=self.maxiter,

@@ -35,7 +35,39 @@ __all__ = [
     "deriv_weights",
     "deriv_table",
     "fun_derivatives",
+    "with_derivs",
+    "DerivFun",
 ]
+
+
+class DerivFun:
+    """A matrix function carrying a closed-form host-side derivative table.
+
+    ``__call__(S)`` is the traceable matrix function (the SPMF contract);
+    ``derivs(lam, k)`` returns ``[f(lam), f'(lam), ..., f^{(k-1)}(lam)]`` as
+    a numpy complex128 array, independent of the jax x64/backend config —
+    this is what lets the complex-as-real TPU solver path precompute exact
+    f64 coefficient tables on the host even when the accelerator exposes
+    only real f32 (``solvers/spmf_real.py``).
+    """
+
+    def __init__(self, fn, derivs):
+        self._fn = fn
+        self._derivs = derivs
+
+    def __call__(self, S):
+        return self._fn(S)
+
+    def derivs(self, lam, k):
+        import numpy as np
+
+        return np.asarray(self._derivs(complex(lam), int(k)),
+                          dtype=np.complex128)
+
+
+def with_derivs(fn, derivs):
+    """Attach a closed-form derivative rule to a matrix function."""
+    return DerivFun(fn, derivs)
 
 
 def eye_like(S):

@@ -4,18 +4,74 @@
   matrix rows; Gram reductions psum over this axis)
 * ``nodes`` — quadrature/Leja/shift batching (embarrassing parallelism over
   contour nodes and shifted factorizations)
+
+Multi-host: :func:`initialize_distributed` wires ``jax.distributed`` so
+``jax.devices()`` spans every host's chips; lay the ``rows`` axis along ICI
+within a host/slice and the ``nodes`` axis across DCN (quadrature nodes are
+independent — one psum of small moments is the only cross-host traffic).
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "P", "NamedSharding", "Mesh"]
+__all__ = ["make_mesh", "initialize_distributed", "P", "NamedSharding", "Mesh"]
+
+_DIST_INITIALIZED = False
 
 
-def make_mesh(rows: int = None, nodes: int = 1, devices=None):
-    """Create a (rows, nodes) mesh over the available devices."""
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None):
+    """Initialize ``jax.distributed`` for multi-host meshes.
+
+    With no arguments, reads the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``; on Cloud TPU pods ``jax.distributed.initialize()``
+    auto-discovers all three).  Safe to call more than once, and a no-op in
+    single-process runs with no coordinator configured.
+    """
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return True
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    on_tpu_pod = jax.default_backend() == "tpu"
+    if coordinator_address is None and not on_tpu_pod:
+        return False  # single-process CPU/GPU run: nothing to do
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _DIST_INITIALIZED = True
+        return True
+    except (RuntimeError, ValueError):
+        # already initialized (e.g. by the launcher) or single-host TPU
+        _DIST_INITIALIZED = True
+        return True
+
+
+def make_mesh(rows: int = None, nodes: int = 1, devices=None,
+              multihost: bool = False):
+    """Create a (rows, nodes) mesh over the available devices.
+
+    ``multihost=True`` first wires ``jax.distributed`` (env-var driven) so
+    ``jax.devices()`` is the GLOBAL device list; each process then holds the
+    same mesh over all hosts' chips.  The ``rows`` axis should map to the
+    fast (ICI) dimension — pass ``devices`` ordered accordingly, or rely on
+    JAX's default device order which keeps same-host chips contiguous.
+    """
+    if multihost:
+        initialize_distributed()
     if devices is None:
         devices = jax.devices()
     ndev = len(devices)

@@ -1,0 +1,259 @@
+"""Complex-as-real IAR for general real-operand SPMFs — the TPU-resident
+path for the gun/WEP class of problems.
+
+The round-1 complex-as-real machinery (``solvers/iar_real.py``) was
+hard-coded to DEP coefficient tables.  This module factors the split-re/im
+trick into a reusable layer for ANY ``AbstractSPMF`` whose operand matrices
+are real (gun: K, M, W1, W2 real sparse; the complex behaviour lives
+entirely in the term functions ``i sqrt(lam)``, ``i sqrt(lam - c)``,
+reference ``NLEVP_native.jl:4-18``):
+
+* the coefficient table ``C[i, j] = gamma^j f_i^{(j)}(sigma)`` is
+  precomputed on the HOST in complex128 — exactly, when the term functions
+  carry closed-form derivative rules (:class:`neptpu.ops.matfun.DerivFun`),
+  else via the bidiagonal matrix-function trick on the CPU backend;
+* the merged real term bank (all A_i stacked; DIA when banded, aligned-CSR
+  else) drives the fused Mlincomb in paired real channels — the same four
+  small GEMMs + two real bank applies as the DEP path;
+* the shifted solve is the real 2n x 2n block LU, assembled on the host in
+  complex128 then split (``[[Re M, -Im M], [Im M, Re M]]``).
+
+The scan kernel itself is *shared* with the DEP path
+(:func:`neptpu.solvers.iar_real.iar_real_scan` with the virtual identity
+term disabled — here every term, including the PEP part, lives in the bank).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse import make_term_bank
+from .iar_real import iar_real_scan
+
+__all__ = [
+    "term_matrices",
+    "collect_spmf_terms",
+    "spmf_coeff_table",
+    "spmf_fun_scalars",
+    "spmf_shift_block_lu",
+    "iar_real_spmf",
+]
+
+
+def term_matrices(bank):
+    """Host scipy-CSR mirrors of every term of a DIA/CSR/dense bank."""
+    import scipy.sparse as sp
+
+    n = bank.n
+    out = []
+    if hasattr(bank, "offsets"):  # DiaTermBank
+        data = np.asarray(bank.data)
+        offs = np.asarray(bank.offsets)
+        r = np.arange(n)
+        for i in range(data.shape[0]):
+            rows, cols, vals = [], [], []
+            for d, off in enumerate(offs):
+                rr = r[: n - off] if off >= 0 else r[-off:]
+                rows.append(rr)
+                cols.append(rr + off)
+                vals.append(data[i, d][rr])
+            out.append(sp.csr_matrix(
+                (np.concatenate(vals),
+                 (np.concatenate(rows), np.concatenate(cols))),
+                shape=(n, n)))
+    elif hasattr(bank, "indptr"):  # SparseTermBank (aligned patterns)
+        indptr = np.asarray(bank.indptr)
+        indices = np.asarray(bank.indices)
+        data = np.asarray(bank.data)
+        for i in range(bank.nterms):
+            out.append(sp.csr_matrix((data[i], indices, indptr), shape=(n, n)))
+    else:  # DenseTermBank
+        A = np.asarray(bank.A)
+        for i in range(A.shape[0]):
+            out.append(sp.csr_matrix(A[i]))
+    return out
+
+
+def collect_spmf_terms(nep):
+    """(scipy term matrices, fv) for any AbstractSPMF — including sums whose
+    parts live in separate banks (gun = PEP + sqrt-SPMF)."""
+    from ..models.spmf import AbstractSPMF
+
+    if not isinstance(nep, AbstractSPMF) and not (
+        hasattr(nep, "get_Av") and hasattr(nep, "get_fv")
+    ):
+        raise TypeError(f"need an SPMF-like NEP, got {type(nep).__name__}")
+    fv = list(nep.get_fv())
+    # walk the banks instead of densifying term views
+    mats = []
+    for sub in _spmf_parts(nep):
+        if hasattr(sub, "tauv"):  # DEP: virtual identity term (-lam I) first
+            import scipy.sparse as sp
+
+            mats.append(sp.eye(sub.n, format="csr"))
+        mats.extend(term_matrices(sub.bank))
+    if len(mats) != len(fv):
+        raise ValueError(
+            f"collected {len(mats)} operand matrices but {len(fv)} term "
+            "functions")
+    return mats, fv
+
+
+def _spmf_parts(nep):
+    """Flatten SPMFSumNEP trees into bank-holding leaves, fv-ordered."""
+    if hasattr(nep, "nep1") and hasattr(nep, "nep2"):
+        return _spmf_parts(nep.nep1) + _spmf_parts(nep.nep2)
+    if not hasattr(nep, "bank"):
+        raise TypeError(
+            f"SPMF part {type(nep).__name__} holds no term bank; the "
+            "complex-as-real path needs bank-backed operands")
+    return [nep]
+
+
+def spmf_coeff_table(fv, sigma, gamma, m):
+    """C[i, j] = gamma^j f_i^{(j)}(sigma), j = 0..m, column 0 zeroed (IAR
+    feeds derivatives 1..m).  complex128 on the host; exact for DerivFun
+    terms, CPU-backend bidiagonal trick otherwise.  Returns (Cre, Cim)."""
+    sigma = complex(sigma)
+    gamma = complex(gamma)
+    gj = gamma ** np.arange(m + 1)
+    C = np.zeros((len(fv), m + 1), dtype=complex)
+    cpu_rows = []
+    for i, f in enumerate(fv):
+        if hasattr(f, "derivs"):
+            C[i] = f.derivs(sigma, m + 1) * gj
+        else:
+            cpu_rows.append(i)
+    if cpu_rows:
+        from ..ops.matfun import fun_derivatives
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            lam = jnp.asarray(sigma)
+            for i in cpu_rows:
+                d = np.asarray(fun_derivatives(fv[i], lam, m + 1))
+                C[i] = d.astype(complex) * gj
+    C[:, 0] = 0.0
+    return np.ascontiguousarray(C.real), np.ascontiguousarray(C.imag)
+
+
+def spmf_fun_scalars(fv, lam):
+    """[f_i(lam)] in complex128 on the host (assembly + residuals)."""
+    vals = np.zeros(len(fv), dtype=complex)
+    pend = []
+    for i, f in enumerate(fv):
+        if hasattr(f, "derivs"):
+            vals[i] = f.derivs(complex(lam), 1)[0]
+        else:
+            pend.append(i)
+    if pend:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            S = jnp.asarray(complex(lam)).reshape(1, 1)
+            for i in pend:
+                vals[i] = complex(np.asarray(fv[i](S))[0, 0])
+    return vals
+
+
+def spmf_shift_block_lu(mats, fv, sigma, dtype=jnp.float32):
+    """Real 2n x 2n block LU of M(sigma) = sum_i f_i(sigma) A_i (host
+    assembly in complex128, device factorization in ``dtype``)."""
+    w = spmf_fun_scalars(fv, sigma)
+    M0 = None
+    for wi, A in zip(w, mats):
+        T = (A * wi).toarray() if hasattr(A, "toarray") else np.asarray(A) * wi
+        M0 = T if M0 is None else M0 + T
+    n = M0.shape[0]
+    blk = np.zeros((2 * n, 2 * n), dtype=np.float64)
+    blk[:n, :n] = M0.real
+    blk[:n, n:] = -M0.imag
+    blk[n:, :n] = M0.imag
+    blk[n:, n:] = M0.real
+    return jax.scipy.linalg.lu_factor(jnp.asarray(blk, dtype=dtype))
+
+
+def _spmf_host_resnorm(mats, fv):
+    def resnorm(lam, q):
+        w = spmf_fun_scalars(fv, lam)
+        y = np.zeros(q.shape[0], dtype=complex)
+        for wi, A in zip(w, mats):
+            y = y + wi * (A @ q)
+        return float(np.linalg.norm(y))
+
+    return resnorm
+
+
+def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
+                  v=None, dtype=jnp.float32, lu_piv=None, bank=None,
+                  return_info=False):
+    """Complex-as-real IAR on a real-operand SPMF (gun-class problems).
+
+    Same contract as :func:`neptpu.solvers.iar_real.iar_real`; ``bank``
+    optionally reuses a prebuilt merged real term bank.
+    """
+    mats, fv = collect_spmf_terms(nep)
+    n = mats[0].shape[0]
+    m = int(maxit)
+    dt = jnp.dtype(dtype)
+    if tol is None:
+        tol = 1e4 * float(jnp.finfo(dt).eps)
+    for i, A in enumerate(mats):
+        vals = np.asarray(A.data if hasattr(A, "data") else A)
+        if np.iscomplexobj(vals) and vals.size and np.abs(vals.imag).max() > 0:
+            raise ValueError(
+                f"operand {i} has a nonzero imaginary part; the complex-as-"
+                "real path requires real operand matrices (complex behaviour "
+                "belongs in the term functions)")
+
+    if bank is None:
+        real_mats = [
+            A.real if np.iscomplexobj(A.data if hasattr(A, "data") else A)
+            else A
+            for A in mats
+        ]
+        bank = make_term_bank(real_mats, dtype=np.dtype(dt))
+
+    t0 = time.perf_counter()
+    if lu_piv is None:
+        lu_piv = spmf_shift_block_lu(mats, fv, sigma, dtype=dt)
+        jax.block_until_ready(lu_piv)
+    t_fact = time.perf_counter() - t0
+
+    Cre, Cim = spmf_coeff_table(fv, sigma, gamma, m)
+    if v is None:
+        v = np.ones(n)
+    v = np.asarray(v, dtype=complex)
+
+    t0 = time.perf_counter()
+    Vre, Vim, Hre, Him = iar_real_scan(
+        bank, m,
+        jnp.asarray(Cre, dt), jnp.asarray(Cim, dt),
+        jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),  # no virtual -lam*I term
+        jnp.asarray(v.real, dt), jnp.asarray(v.imag, dt),
+        lu_piv[0].astype(dt), lu_piv[1],
+    )
+    Hre_h = np.asarray(Hre, dtype=np.float64)
+    Him_h = np.asarray(Him, dtype=np.float64)
+    t_scan = time.perf_counter() - t0
+
+    H = Hre_h[:m, :m] + 1j * Him_h[:m, :m]
+    D, Z = np.linalg.eig(H)
+    lams = complex(sigma) + complex(gamma) / D
+    V0 = (np.asarray(Vre[:, 0, :], dtype=np.float64)
+          + 1j * np.asarray(Vim[:, 0, :], dtype=np.float64)).T
+    Q = V0[:, :m] @ Z
+    Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
+
+    rn = _spmf_host_resnorm(mats, fv)
+    errs = np.array([rn(lams[s], Q[:, s]) for s in range(len(lams))])
+    idx = np.argsort(errs)
+    nconv = int(np.sum(errs < tol))
+    take = idx[: min(neigs, nconv)]
+    info = {"t_factorize": t_fact, "t_scan": t_scan, "nconv": nconv,
+            "errs": errs[idx]}
+    if return_info:
+        return lams[take], Q[:, take], info
+    return lams[take], Q[:, take]

@@ -67,6 +67,7 @@ def test_deflated_linsolver(dep):
     np.testing.assert_allclose(M @ x, b, rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_jd_betcke(dep):
     lam, V = jd_betcke(dep, neigs=1, maxit=dep.n, v=np.ones(dep.n), tol=1e-10)
     lam = np.asarray(lam)
@@ -74,6 +75,7 @@ def test_jd_betcke(dep):
     assert r < 1e-8
 
 
+@pytest.mark.slow
 def test_jd_betcke_pep():
     nep = nep_gallery("pep0", 40)
     lam, V = jd_betcke(nep, neigs=2, maxit=40, v=np.ones(40), tol=1e-9)
@@ -82,6 +84,7 @@ def test_jd_betcke_pep():
         assert float(compute_resnorm(nep, lam[i], np.asarray(V)[:, i])) < 1e-6
 
 
+@pytest.mark.slow
 def test_jd_effenberger():
     dep = nep_gallery("dep0", 30)
     lam, V = jd_effenberger(dep, neigs=2, maxit=30, lam=0.0, v=np.ones(dep.n), tol=1e-10)
@@ -94,6 +97,7 @@ def test_jd_effenberger():
         assert r < 1e-8
 
 
+@pytest.mark.slow
 def test_nlar():
     nep = nep_gallery("pep0", 50)
     D, X, hist = nlar(nep, neigs=2, maxit=50, lam=0.0, v=np.ones(50), tol=1e-9,

@@ -6,6 +6,7 @@ complex ``iar``/``iar_scan_kernel`` on the same gallery DEPs.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import neptpu
 from neptpu import compute_resnorm, nep_gallery
@@ -18,6 +19,7 @@ def _match(lams_a, lams_b, tol):
         assert min(abs(la - lb) for lb in lams_b) < tol, (la, lams_b)
 
 
+@pytest.mark.slow
 def test_iar_real_matches_complex_iar_dia_bank():
     nep = nep_gallery("dep0_tridiag", 64)
     lams_r, Q_r, info = iar_real(nep, sigma=-0.3, maxit=40, neigs=4,
@@ -30,6 +32,7 @@ def test_iar_real_matches_complex_iar_dia_bank():
     _match(lams_r, np.asarray(lams_c), 1e-8)
 
 
+@pytest.mark.slow
 def test_iar_real_matches_complex_iar_dense_bank():
     nep = nep_gallery("dep0")  # 5x5 dense bank
     lams_r, Q_r = iar_real(nep, sigma=-0.5, maxit=30, neigs=3, dtype=jnp.float64)

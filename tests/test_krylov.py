@@ -48,6 +48,7 @@ def test_iar_dep0():
     assert np.linalg.norm(G - np.eye(G.shape[0])) < 1e-8
 
 
+@pytest.mark.slow
 def test_tiar_matches_iar():
     nep = nep_gallery("dep0", 40)
     l1, Q1, _ = iar(nep, sigma=0.0, neigs=4, maxit=40, v=np.ones(nep.n), tol=1e-10)
@@ -62,6 +63,7 @@ def test_tiar_matches_iar():
         assert d < 1e-6
 
 
+@pytest.mark.slow
 def test_iar_pep0():
     nep = nep_gallery("pep0", 60)
     lams, Q, _ = iar(nep, sigma=0.0, neigs=3, maxit=60, v=np.ones(nep.n), tol=1e-9)

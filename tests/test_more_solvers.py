@@ -57,6 +57,7 @@ def test_infbilanczos_dep0():
         assert float(compute_resnorm(nep, lam[i], np.asarray(Q)[:, i])) < 1e-7
 
 
+@pytest.mark.slow
 def test_ilan_symmetric():
     nep = nep_gallery("dep_symm_double", 8)
     lam, W, err, V = ilan(nep, sigma=0.0, neigs=3, maxit=30, v=np.ones(nep.n),
@@ -66,6 +67,24 @@ def test_ilan_symmetric():
     for i in range(len(lam)):
         r = float(compute_resnorm(nep, lam[i], np.asarray(W)[:, i]))
         assert r / np.linalg.norm(np.asarray(W)[:, i]) < 1e-7
+
+
+def test_sgiter_real_quadratic():
+    """reference ``test/sgiter.jl``: j-th eigenvalue by safeguarded iteration."""
+    from neptpu.core.errmeasure import ResidualErrmeasure
+    from neptpu.solvers.sgiter import sgiter
+
+    nep = nep_gallery("real_quadratic")
+    lam, v = sgiter(nep, 1, lam_min=-10, lam_max=0, lam=-10, maxit=100,
+                    tol=1e-12)
+    r = np.linalg.norm(np.asarray(neptpu.compute_Mlincomb(nep, lam, v)))
+    assert r < 1e-9
+    assert -10 <= float(np.real(lam)) <= 0
+
+    lam2, v2 = sgiter(nep, 2, tol=1e-9, maxit=100,
+                      errmeasure=ResidualErrmeasure(nep))
+    r2 = np.linalg.norm(np.asarray(neptpu.compute_Mlincomb(nep, lam2, v2)))
+    assert r2 < 1e-9
 
 
 @pytest.mark.parametrize("method", [":DEP", ":SPMF", ":Generic"])

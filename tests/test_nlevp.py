@@ -12,6 +12,7 @@ from neptpu import compute_Mlincomb, compute_resnorm, nep_gallery
 HAS_DATA = os.path.exists("/root/reference/src/gallery_extra/converted_nlevp")
 
 
+@pytest.mark.slow
 def test_fiber_oracle():
     """lam_ref = 7.139494306065948e-07, |lam - lam_ref| < 1e-10
     (reference ``test/fiber_native.jl:10-22``)."""

@@ -65,6 +65,7 @@ def wep_jarlebring():
                        benchmark_problem="JARLEBRING", neptype="WEP")
 
 
+@pytest.mark.slow
 def test_wep_jarlebring_resinv_oracle(wep_jarlebring):
     """lam_ref = -2.743228671961724 - 3.1439375599649972i via resinv with the
     factorized Schur-complement solver (reference ``wep_small.jl:31-50``)."""
@@ -91,6 +92,7 @@ def test_wep_jarlebring_gmres_preconditioned(wep_jarlebring):
     assert np.linalg.norm(r - b) / np.linalg.norm(b) < 1e-8
 
 
+@pytest.mark.slow
 def test_wep_jarlebring_iar(wep_jarlebring):
     """iar finds 3 eigenpairs including lam_ref within 100 iterations
     (reference ``wep_small.jl:66-76``)."""
