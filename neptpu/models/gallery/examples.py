@@ -24,26 +24,43 @@ __all__ = [
     "data_dir",
 ]
 
-# Gallery data files (text-serialized sparse matrices, reference
-# ``src/gallery_extra/converted_*``) are looked up at runtime:
-# NEPTPU_DATA_PATH, else the mounted reference checkout.
+# Gallery data matrices ship with the package as compressed CSR .npz under
+# ``neptpu/data`` (converted once from the NLEVP text serialization, reference
+# ``src/gallery_extra/converted_*``); NEPTPU_DATA_PATH overrides with a
+# directory of either .npz or text-serialized files.
+_VENDORED_DATA = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "data")
 _DEFAULT_DATA = "/root/reference/src/gallery_extra"
 
 
 def data_dir():
-    return os.environ.get("NEPTPU_DATA_PATH", _DEFAULT_DATA)
+    return os.environ.get("NEPTPU_DATA_PATH", _VENDORED_DATA)
+
+
+def _load_npz(path):
+    import scipy.sparse as sp
+
+    with np.load(path) as z:
+        return sp.csr_matrix((z["data"], z["indices"], z["indptr"]),
+                             shape=tuple(z["shape"]))
 
 
 def _load(relpath):
     from ...utils.serialization import read_sparse_matrix
 
-    path = os.path.join(data_dir(), relpath)
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"gallery data file {relpath} not found under {data_dir()}; "
-            "set NEPTPU_DATA_PATH to a directory holding the converted_* data"
-        )
-    return read_sparse_matrix(path)
+    base = relpath.rsplit(".", 1)[0]
+    for root in (data_dir(), _VENDORED_DATA, _DEFAULT_DATA):
+        npz = os.path.join(root, base + ".npz")
+        if os.path.exists(npz):
+            return _load_npz(npz)
+        txt = os.path.join(root, relpath)
+        if os.path.exists(txt):
+            return read_sparse_matrix(txt)
+    raise FileNotFoundError(
+        f"gallery data file {base}(.npz|.txt) not found under {data_dir()} "
+        "(nor the packaged neptpu/data); set NEPTPU_DATA_PATH to a directory "
+        "holding the converted_* data"
+    )
 
 
 def dep1():

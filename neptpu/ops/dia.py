@@ -70,7 +70,31 @@ class DiaTermBank:
                     data[i, d, : n - off] = col[off:]
                 else:
                     data[i, d, -off :] = col[: n + off]
-        return cls(jnp.asarray(data), offs, (n, n))
+        obj = cls(jnp.asarray(data), offs, (n, n))
+        obj._host_data = data  # host mirror, not part of the pytree
+        return obj
+
+    def host_csr_terms(self):
+        """scipy CSR mirrors of every term, from host data when available."""
+        import scipy.sparse as sp
+
+        n = self.n
+        data = (self._host_data if hasattr(self, "_host_data")
+                else np.asarray(self.data))
+        r = np.arange(n)
+        out = []
+        for i in range(data.shape[0]):
+            rows, cols, vals = [], [], []
+            for d, off in enumerate(self.offsets):
+                rr = r[: n - off] if off >= 0 else r[-off:]
+                rows.append(rr)
+                cols.append(rr + off)
+                vals.append(data[i, d][rr])
+            out.append(sp.csr_matrix(
+                (np.concatenate(vals),
+                 (np.concatenate(rows), np.concatenate(cols))),
+                shape=(n, n)))
+        return out
 
     def _shifted(self, X, off):
         """rows r of result = X[r + off] (zero padded), X (n, k)."""

@@ -139,6 +139,13 @@ class DenseTermBank:
             fro_norms = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=(1, 2)))
         self.fro_norms = fro_norms
 
+    def host_csr_terms(self):
+        """scipy CSR mirrors of every term, from host data when available."""
+        import scipy.sparse as sp
+
+        A = self._host_A if hasattr(self, "_host_A") else np.asarray(self.A)
+        return [sp.csr_matrix(A[i]) for i in range(A.shape[0])]
+
     @property
     def nterms(self):
         return self.A.shape[0]
@@ -256,13 +263,32 @@ class SparseTermBank:
             pos = np.searchsorted(pkeys, akeys)
             np.add.at(data[i], pos, A.data)
         row_ids = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
-        return cls(
+        obj = cls(
             jnp.asarray(data),
             jnp.asarray(pattern.indices, dtype=jnp.int32),
             jnp.asarray(row_ids),
             jnp.asarray(indptr, dtype=jnp.int32),
             (n, m),
         )
+        # host mirror (NOT part of the pytree): lets off-hot-path consumers
+        # (residual oracles, 2n x 2n shift assembly) avoid a device->host
+        # round trip, which a tunneled TPU runtime may not even support
+        obj._host = (data, np.asarray(pattern.indices, dtype=np.int64),
+                     np.asarray(indptr, dtype=np.int64))
+        return obj
+
+    def host_csr_terms(self):
+        """scipy CSR mirrors of every term, from host data when available."""
+        import scipy.sparse as sp
+
+        if hasattr(self, "_host"):
+            data, indices, indptr = self._host
+        else:  # reconstructed pytree: fall back to a device fetch
+            data = np.asarray(self.data)
+            indices = np.asarray(self.indices)
+            indptr = np.asarray(self.indptr)
+        return [sp.csr_matrix((data[i], indices, indptr), shape=self.shape)
+                for i in range(data.shape[0])]
 
     def term_csr(self, i):
         return CSR(self.data[i], self.indices, self.row_ids, self.indptr, self.shape)
@@ -369,5 +395,7 @@ def make_term_bank(mats: Sequence[Any], dtype=None, prefer_sparse=None,
         dense.append(np.asarray(A))
     if dtype is None:
         dtype = np.result_type(*[A.dtype for A in dense])
-    A = jnp.asarray(np.stack([A.astype(dtype) for A in dense]))
-    return DenseTermBank(A)
+    A_host = np.stack([A.astype(dtype) for A in dense])
+    bank = DenseTermBank(jnp.asarray(A_host))
+    bank._host_A = A_host  # host mirror, not part of the pytree
+    return bank

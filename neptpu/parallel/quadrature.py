@@ -34,11 +34,18 @@ def sharded_contour_moments(nep, sigma, radius, Vh, N, n_moments, mesh,
     t = h * np.arange(N)
     gs = r1 * np.cos(t) + 1j * r2 * np.sin(t)
     gps = -r1 * np.sin(t) + 1j * r2 * np.cos(t)
+    from jax.sharding import NamedSharding
+
     shifts = jnp.asarray(complex(sigma) + gs)
     # per-node weights for each moment: w[j, i] = h/(2 pi i) * gp_i * g_i^j
     gj = np.stack([gs**j for j in range(n_moments)])
     wts = jnp.asarray(gj * gps[None, :] * (h / (2j * np.pi)))
     Vh = jnp.asarray(Vh, dtype=jnp.result_type(shifts.dtype, jnp.complex64))
+    # lay the inputs out on THIS mesh (callers may hand arrays committed to a
+    # single device, which shard_map cannot consume)
+    shifts = jax.device_put(shifts, NamedSharding(mesh, P(axis)))
+    wts = jax.device_put(wts, NamedSharding(mesh, P(None, axis)))
+    Vh = jax.device_put(Vh, NamedSharding(mesh, P()))
 
     spec_nodes = P(axis) if len(mesh.axis_names) == 1 else P(axis)
 

@@ -146,9 +146,16 @@ def _contour_moments(nep, sigma, radius, Vh, N, n_moments, linsolvercreator,
 def contour_beyn(nep, dtype=None, integrator=None, tol=None, sigma=0.0, logger=0,
                  linsolvercreator=None, neigs=2, k=None, radius=1.0, N=1000,
                  errmeasure=None, sanity_check=True, rank_drop_tol=None,
-                 chunk=32):
+                 chunk=32, mesh=None, mesh_axis="nodes"):
     """Beyn's contour integral method (reference
-    ``method_beyncontour.jl:47-185``)."""
+    ``method_beyncontour.jl:47-185``).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — quadrature nodes are then
+    sharded over its ``mesh_axis`` (each device runs the batched
+    assemble+LU+solve pipeline on its local nodes; moments reduced with one
+    psum), the first-class version of the reference's user-pluggable
+    ``@distributed`` trapezoid (``tutorial_contour.md:199-231``).
+    """
     dtype, em, lg = setup_solver(nep, dtype, errmeasure, logger)
     if tol is None:
         tol = float(np.sqrt(np.finfo(np.float64).eps))
@@ -172,8 +179,15 @@ def contour_beyn(nep, dtype=None, integrator=None, tol=None, sigma=0.0, logger=0
     Vh = jnp.asarray(rng.standard_normal((n, k)), dtype=jnp.complex128)
 
     lg.info("Computing integrals")
-    A0, A1 = _contour_moments(nep, sigma, radius, Vh, N, 2, linsolvercreator,
-                              integrator, lg, chunk)
+    if mesh is not None:
+        from ..parallel.quadrature import sharded_contour_moments
+
+        A = np.asarray(sharded_contour_moments(nep, sigma, radius, Vh, N, 2,
+                                               mesh, axis=mesh_axis))
+        A0, A1 = jnp.asarray(A[0]), jnp.asarray(A[1])
+    else:
+        A0, A1 = _contour_moments(nep, sigma, radius, Vh, N, 2,
+                                  linsolvercreator, integrator, lg, chunk)
 
     lg.info("Computing SVD prepare for eigenvalue extraction")
     V, S, Wh = jnp.linalg.svd(A0, full_matrices=False)

@@ -31,7 +31,8 @@ import numpy as np
 
 from ..core.nep import compute_resnorm
 
-__all__ = ["iar_real", "iar_real_scan", "dep_shift_block_lu", "dep_coeff_table"]
+__all__ = ["iar_real", "iar_real_scan", "run_iar_real", "dep_shift_block_lu",
+           "dep_coeff_table"]
 
 
 def _dep_host_resnorm(nep):
@@ -40,31 +41,8 @@ def _dep_host_resnorm(nep):
     On TPU the default backend has no complex dtype, so the (off-hot-path)
     residual checks run on the host against scipy mirrors of the bank terms.
     """
-    import scipy.sparse as sp
-
-    n = nep.n
-    bank = nep.bank
     tau = np.asarray(nep.tauv, dtype=float)
-    terms = []
-    if hasattr(bank, "offsets"):  # DiaTermBank
-        data = np.asarray(bank.data, dtype=np.float64)
-        offs = np.asarray(bank.offsets)
-        r = np.arange(n)
-        for i in range(data.shape[0]):
-            rows, cols, vals = [], [], []
-            for d, off in enumerate(offs):
-                rr = r[: n - off] if off >= 0 else r[-off:]
-                rows.append(rr)
-                cols.append(rr + off)
-                vals.append(data[i, d][rr])
-            terms.append(sp.csr_matrix(
-                (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-                shape=(n, n)))
-    else:
-        for i in range(bank.nterms):
-            A = bank.term(i) if hasattr(bank, "term") else bank.A[i]
-            A = A.to_dense() if hasattr(A, "to_dense") else A
-            terms.append(sp.csr_matrix(np.asarray(A, dtype=np.float64)))
+    terms = [A.astype(np.float64) for A in nep.bank.host_csr_terms()]
 
     def resnorm(lam, q):
         # ||M(lam) q|| exactly like compute_resnorm (NEPCore.jl:275-279)
@@ -92,8 +70,13 @@ def dep_shift_block_lu(nep, sigma, dtype=jnp.float32):
     """Real 2n x 2n block form of M(sigma), LU-factored on device.
 
     [[Re M, -Im M], [Im M, Re M]] @ [re; im] == re/im parts of M @ (re+i*im).
+    M(sigma) is assembled on the HOST in complex128 (the TPU backend has no
+    complex dtype and tunneled runtimes cannot fetch complex device arrays).
     """
-    M0 = np.asarray(nep.Mder_dense(complex(sigma)))
+    sigma = complex(sigma)
+    M0 = -sigma * np.eye(nep.n, dtype=complex)
+    for t, A in zip(np.asarray(nep.tauv, dtype=float), nep.bank.host_csr_terms()):
+        M0 = M0 + np.exp(-t * sigma) * A.toarray()
     n = M0.shape[0]
     blk = np.zeros((2 * n, 2 * n), dtype=np.float64)
     blk[:n, :n] = M0.real
@@ -103,22 +86,11 @@ def dep_shift_block_lu(nep, sigma, dtype=jnp.float32):
     return jax.scipy.linalg.lu_factor(jnp.asarray(blk, dtype=dtype))
 
 
-@partial(jax.jit, static_argnames=("m",))
-def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv):
-    """Run m complex-as-real IAR steps.
-
-    bank: term bank pytree (offsets ride in static aux data, the diagonal
-    values are traced operands); its ``lincomb_apply`` drives the fused
-    multi-term SpMV.  Returns (Vre, Vim, Hre, Him): padded basis
-    (m+1 cols, m+1 blocks, n) pairs and the (m+1, m) Hessenberg pair.
-    """
-    n = v0re.shape[0]
-    dt = jnp.result_type(v0re.dtype, Cre.dtype)
+def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt):
+    """One complex-as-real IAR step (shared by the full-run and chunked
+    scans); ``k`` is the 1-based dynamic step index."""
     jblk = jnp.arange(m + 1)
-
-    nrm0 = jnp.sqrt(jnp.sum(v0re**2) + jnp.sum(v0im**2))
-    Vre = jnp.zeros((m + 1, m + 1, n), dtype=dt).at[0, 0].set(v0re / nrm0)
-    Vim = jnp.zeros((m + 1, m + 1, n), dtype=dt).at[0, 0].set(v0im / nrm0)
+    n = lu.shape[0] // 2
 
     def step(carry, k):
         Vre, Vim, Hre, Him = carry
@@ -163,20 +135,131 @@ def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv):
         Him = Him.at[:, k - 1].set(jnp.where(jblk == k, 0.0, him))
         return (Vre, Vim, Hre, Him), beta
 
+    return step
+
+
+def _init_carry(m, v0re, v0im, dt):
+    n = v0re.shape[0]
+    nrm0 = jnp.sqrt(jnp.sum(v0re**2) + jnp.sum(v0im**2))
+    Vre = jnp.zeros((m + 1, m + 1, n), dtype=dt).at[0, 0].set(v0re / nrm0)
+    Vim = jnp.zeros((m + 1, m + 1, n), dtype=dt).at[0, 0].set(v0im / nrm0)
     H0 = jnp.zeros((m + 1, m), dtype=dt)
-    (Vre, Vim, Hre, Him), _ = jax.lax.scan(
-        step, (Vre, Vim, H0, H0), jnp.arange(1, m + 1)
-    )
-    return Vre, Vim, Hre, Him
+    return (Vre, Vim, H0, H0)
+
+
+@partial(jax.jit, static_argnames=("m", "nsteps"))
+def _scan_chunk(bank, m, nsteps, k0, carry, Cre, Cim, gre, gim, lu, piv):
+    """Advance ``nsteps`` IAR steps starting at (1-based) step ``k0``."""
+    dt = carry[0].dtype
+    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt)
+    return jax.lax.scan(step, carry, k0 + jnp.arange(nsteps))[0]
+
+
+@partial(jax.jit, static_argnames=("m",))
+def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv):
+    """Run m complex-as-real IAR steps.
+
+    bank: term bank pytree (offsets ride in static aux data, the diagonal
+    values are traced operands); its ``lincomb_apply`` drives the fused
+    multi-term SpMV.  Returns (Vre, Vim, Hre, Him): padded basis
+    (m+1 cols, m+1 blocks, n) pairs and the (m+1, m) Hessenberg pair.
+    """
+    dt = jnp.result_type(v0re.dtype, Cre.dtype)
+    carry = _init_carry(m, v0re.astype(dt), v0im.astype(dt), dt)
+    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt)
+    return jax.lax.scan(step, carry, jnp.arange(1, m + 1))[0]
+
+
+def _extract_ritz(carry, k_done, m, n, sigma, gamma):
+    """Host Ritz extraction from the first k_done Krylov steps:
+    lam = sigma + gamma / theta, Q = V0[:, :k] @ Z (unit columns)."""
+    Vre, Vim, Hre, Him = carry
+    Hre_h = np.asarray(Hre, dtype=np.float64)
+    Him_h = np.asarray(Him, dtype=np.float64)
+    H = Hre_h[:k_done, :k_done] + 1j * Him_h[:k_done, :k_done]
+    D, Z = np.linalg.eig(H)
+    lams = complex(sigma) + complex(gamma) / D
+    V0 = (np.asarray(Vre[:, 0, :], dtype=np.float64)
+          + 1j * np.asarray(Vim[:, 0, :], dtype=np.float64)).T  # (n, m+1)
+    Q = V0[:n, :k_done] @ Z
+    Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
+    return lams, Q
+
+
+def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
+                 neigs, tol, resnorm, n=None, check_error_every=None):
+    """Shared complex-as-real IAR driver (DEP and SPMF front ends).
+
+    ``id_coeff``: coefficient of the virtual ``-coeff * y_1`` identity term
+    (the DEP's ``-lam I`` contributes ``gamma`` here; pure-bank SPMFs pass 0).
+    ``check_error_every``: if set (and ``tol`` is finite), the m-step scan is
+    split into chunks of that many steps; after each chunk the small
+    Hessenberg + first-block basis rows are pulled to the host, Ritz pairs
+    extracted, and residuals measured with ``resnorm`` — the run stops as
+    soon as ``neigs`` pairs are below ``tol`` (the reference's
+    ``check_error_every`` contract, ``method_iar.jl:110-135``), so
+    time-to-tolerance pays only for the steps it needs.  Returns
+    ``(lams, Q, info)`` over the converged pairs, residual-sorted.
+    """
+    if n is None:
+        n = int(lu_piv[0].shape[0]) // 2
+    v = np.asarray(v, dtype=complex)
+    id_coeff = complex(id_coeff)
+    args = (jnp.asarray(Cre, dt), jnp.asarray(Cim, dt),
+            jnp.asarray(id_coeff.real, dt),
+            jnp.asarray(id_coeff.imag, dt),
+            lu_piv[0].astype(dt), lu_piv[1])
+
+    t0 = time.perf_counter()
+    t_check = 0.0
+    if check_error_every and np.isfinite(tol):
+        chunk = int(check_error_every)
+        carry = _init_carry(m, jnp.asarray(v.real, dt), jnp.asarray(v.imag, dt),
+                            dt)
+        k_done = 0
+        lams = Q = None
+        while k_done < m:
+            steps = min(chunk, m - k_done)
+            carry = _scan_chunk(bank, m, steps, jnp.asarray(k_done + 1),
+                                carry, *args)
+            k_done += steps
+            tc = time.perf_counter()
+            lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
+            errs = np.array([resnorm(lams[s], Q[:, s])
+                             for s in range(len(lams))])
+            t_check += time.perf_counter() - tc
+            if int(np.sum(errs < tol)) >= neigs:
+                break
+    else:
+        carry = iar_real_scan(bank, m, *args[:4],
+                              jnp.asarray(v.real, dt), jnp.asarray(v.imag, dt),
+                              *args[4:])
+        k_done = m
+        lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
+        errs = np.array([resnorm(lams[s], Q[:, s]) for s in range(len(lams))])
+    t_scan = time.perf_counter() - t0
+
+    idx = np.argsort(errs)
+    nconv = int(np.sum(errs < tol)) if np.isfinite(tol) else len(errs)
+    take = idx[: min(neigs, nconv)]
+    info = {"t_scan": t_scan, "t_check": t_check, "nconv": nconv,
+            "k_done": k_done, "errs": errs[idx]}
+    return lams[take], Q[:, take], info
 
 
 def iar_real(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None, v=None,
-             dtype=jnp.float32, lu_piv=None, return_info=False):
+             dtype=jnp.float32, lu_piv=None, check_error_every=None,
+             errmeasure=None, return_info=False):
     """Complex-as-real IAR on a DEP (reference ``iar`` contract: returns
     converged ``(lams, Q)``, sorted by residual).
 
     ``lu_piv``: optionally a prefactored result of
     :func:`dep_shift_block_lu` (the factorization-reuse path).
+    ``check_error_every``: stop as soon as ``neigs`` Ritz pairs pass
+    ``tol``, checking every that many scan steps (host peek of the small
+    Hessenberg + first-block rows); default runs all ``maxit`` steps.
+    ``errmeasure``: optional ``(lam, q) -> float`` replacing the residual
+    norm in convergence counting (e.g. a backward-error measure).
     """
     n = nep.n
     m = int(maxit)
@@ -193,41 +276,23 @@ def iar_real(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None, v=None,
     Cre, Cim = dep_coeff_table(nep, sigma, gamma, m)
     if v is None:
         v = np.ones(n)
-    v = np.asarray(v, dtype=complex)
 
-    t0 = time.perf_counter()
-    Vre, Vim, Hre, Him = iar_real_scan(
-        nep.bank, m,
-        jnp.asarray(Cre, dt), jnp.asarray(Cim, dt),
-        jnp.asarray(float(np.real(gamma)), dt),
-        jnp.asarray(float(np.imag(gamma)), dt),
-        jnp.asarray(v.real, dt), jnp.asarray(v.imag, dt),
-        lu_piv[0].astype(dt), lu_piv[1],
-    )
-    Hre_h = np.asarray(Hre, dtype=np.float64)  # forces completion
-    Him_h = np.asarray(Him, dtype=np.float64)
-    t_scan = time.perf_counter() - t0
+    if errmeasure is not None:
+        rn = errmeasure
+    else:
+        try:  # backend with complex support: residuals through the protocol
+            compute_resnorm(nep, complex(sigma) + 0.1j, jnp.ones(n) + 0j)
 
-    # host Ritz extraction: lam = sigma + gamma / theta
-    H = Hre_h[:m, :m] + 1j * Him_h[:m, :m]
-    D, Z = np.linalg.eig(H)
-    lams = complex(sigma) + complex(gamma) / D
-    V0 = (np.asarray(Vre[:, 0, :], dtype=np.float64)
-          + 1j * np.asarray(Vim[:, 0, :], dtype=np.float64)).T  # (n, m+1)
-    Q = V0[:, :m] @ Z
-    Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
+            def rn(lam, q):
+                return float(compute_resnorm(nep, lam, jnp.asarray(q)))
+        except Exception:  # TPU without complex: host-side scipy residuals
+            rn = _dep_host_resnorm(nep)
 
-    try:  # backend with complex support: residuals through the NEP protocol
-        errs = np.array([float(compute_resnorm(nep, lams[s], jnp.asarray(Q[:, s])))
-                         for s in range(len(lams))])
-    except Exception:  # TPU without complex: host-side scipy residuals
-        rn = _dep_host_resnorm(nep)
-        errs = np.array([rn(lams[s], Q[:, s]) for s in range(len(lams))])
-    idx = np.argsort(errs)
-    nconv = int(np.sum(errs < tol))
-    take = idx[: min(neigs, nconv)]
-    info = {"t_factorize": t_fact, "t_scan": t_scan, "nconv": nconv,
-            "errs": errs[idx]}
+    lams, Q, info = run_iar_real(
+        nep.bank, m, Cre, Cim, gamma, v, lu_piv, dt,
+        sigma=sigma, gamma=gamma, neigs=neigs, tol=tol, resnorm=rn, n=n,
+        check_error_every=check_error_every)
+    info["t_factorize"] = t_fact
     if return_info:
-        return lams[take], Q[:, take], info
-    return lams[take], Q[:, take]
+        return lams, Q, info
+    return lams, Q

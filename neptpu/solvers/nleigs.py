@@ -68,7 +68,7 @@ def nleigs(nep, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j), dtype=None,
            linsolvercreator=None, tol=1e-10, tollin=None, v=None,
            errmeasure=None, isfunm=True, static=False, leja=1, nodes=(),
            reusefact=1, blksize=20, return_details=False, check_error_every=5,
-           _debug_out=None):
+           computeD=None, _debug_out=None):
     _, _, lg = setup_solver(nep, dtype, None, logger)
     if errmeasure is None:
         em = ResidualErrmeasure(nep)
@@ -82,9 +82,12 @@ def nleigs(nep, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j), dtype=None,
     n = nep.n
     if n == 1:
         maxdgr = maxit + 1
-    # for low-rank tails the explicit D matrices are n x r (cheap), so always
-    # compute them; otherwise follow the reference's n <= 400 heuristic
-    computeD = (n <= 400) or P.is_low_rank
+    # reference heuristic (``method_nleigs.jl:96``): explicit D matrices for
+    # small problems; matrix-free above — for low-rank tails the matrix-free
+    # path applies D_nb through the compacted LL + scalar weights
+    # (``rk_nep.jl:102-153``), O(n r) memory independent of the Leja degree
+    if computeD is None:
+        computeD = n <= 400
     lr = P.is_low_rank
     p_lr = P.p if lr else None
     r_lr = P.r if lr else None
@@ -161,14 +164,23 @@ def nleigs(nep, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j), dtype=None,
         start = p_lr * n + (j - p_lr) * r_lr
         return slice(start, start + r_lr)
 
+    def apply_D(ii, x):
+        """D_ii @ x: explicit when computeD, else matrix-free — weighted
+        operand sum for full blocks, compacted-LL tail for r-sized blocks."""
+        if (not P.spmf) or computeD:
+            return D[ii] @ x
+        if lr and ii > p_lr:
+            return P.apply_tail(sgdd, ii, x)
+        return np.asarray(P.apply_weighted(sgdd[:, ii], jnp.asarray(x)))
+
     def backslash(wc, k, N):
         shift = sigma[k]
         Bw = np.zeros_like(wc)
         blk = _blk
-        if lr and N >= p_lr and len(D) > p_lr:
+        if lr and N >= p_lr and len(nrmD) > p_lr:
             # extra first-block term (reference ``backslash`` low-rank head);
             # only once the low-rank tail blocks exist (N >= p)
-            Bw[blk(0)] = -(D[p_lr] @ wc[_blk(p_lr - 1)]) / beta[p_lr]
+            Bw[blk(0)] = -apply_D(p_lr, wc[_blk(p_lr - 1)]) / beta[p_lr]
         for ii in range(1, N + 1):
             fac = 0.0 if np.isinf(xi[ii - 1]) else beta[ii] / xi[ii - 1]
             if lr and ii == p_lr:
@@ -179,11 +191,8 @@ def nleigs(nep, Sigma=(-1.0 - 1j, -1.0 + 1j, 1.0 + 1j, 1.0 - 1j), dtype=None,
         nu = beta[1] * (1 - shift / xi[0]) if not np.isinf(xi[0]) else beta[1]
         z[blk(1)] = z[blk(1)] / nu
         for ii in range(1, N + 1):
-            if (not P.spmf) or computeD:
-                if not (lr and ii == p_lr):
-                    z[blk(0)] -= D[ii] @ z[blk(ii)]
-            else:
-                z[blk(0)] -= np.asarray(P.apply_weighted(sgdd[:, ii], jnp.asarray(z[blk(ii)])))
+            if not (lr and ii == p_lr):
+                z[blk(0)] -= apply_D(ii, z[blk(ii)])
             if ii < N:
                 # julia: mu = shift - sigma[ii+1] (1-based) -> sigma[ii] here
                 mu = shift - sigma[ii]

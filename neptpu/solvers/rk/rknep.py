@@ -25,10 +25,27 @@ class RKNEP:
         self.L = L or []
         self.U = U or []
         if is_low_rank:
+            # compacted low-rank factors (reference ``rk_nep.jl:102-153``
+            # BBCC/LL): UU drives the r-sized tail recurrences, LL the
+            # matrix-free application of the tail divided differences
+            # D_nb = hcat_i(sgdd[p+1+i, nb] * L_i) — kept as ONE n x r
+            # matrix plus per-degree scalar weights, so memory is O(n r)
+            # independent of the number of Leja degrees.
             self.UU = np.hstack([np.asarray(u) for u in self.U])
+            self.LL = np.hstack([np.asarray(l) for l in self.L])
+            self._ri = np.array([np.asarray(l).shape[1] for l in self.L])
         else:
             self.UU = None
+            self.LL = None
         self._Av = nep.get_Av() if spmf else None
+
+    def apply_tail(self, sgdd, nb, z):
+        """Matrix-free tail divided difference: D_nb @ z for nb > p, using
+        the compacted LL and the per-term scalar weights (reference
+        ``method_nleigs.jl:507-511``); z is the r-sized tail block."""
+        w = np.repeat(np.asarray(sgdd)[self.p + 1: self.p + 1 + self.q, nb],
+                      self._ri)
+        return self.LL @ (w * np.asarray(z))
 
     def apply_weighted(self, coeffs, x):
         """sum_i coeffs[i] * (Av[i] @ x) over the full get_Av list."""

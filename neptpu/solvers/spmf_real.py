@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sparse import make_term_bank
-from .iar_real import iar_real_scan
+from .iar_real import run_iar_real
 
 __all__ = [
     "term_matrices",
@@ -44,37 +44,10 @@ __all__ = [
 
 
 def term_matrices(bank):
-    """Host scipy-CSR mirrors of every term of a DIA/CSR/dense bank."""
-    import scipy.sparse as sp
-
-    n = bank.n
-    out = []
-    if hasattr(bank, "offsets"):  # DiaTermBank
-        data = np.asarray(bank.data)
-        offs = np.asarray(bank.offsets)
-        r = np.arange(n)
-        for i in range(data.shape[0]):
-            rows, cols, vals = [], [], []
-            for d, off in enumerate(offs):
-                rr = r[: n - off] if off >= 0 else r[-off:]
-                rows.append(rr)
-                cols.append(rr + off)
-                vals.append(data[i, d][rr])
-            out.append(sp.csr_matrix(
-                (np.concatenate(vals),
-                 (np.concatenate(rows), np.concatenate(cols))),
-                shape=(n, n)))
-    elif hasattr(bank, "indptr"):  # SparseTermBank (aligned patterns)
-        indptr = np.asarray(bank.indptr)
-        indices = np.asarray(bank.indices)
-        data = np.asarray(bank.data)
-        for i in range(bank.nterms):
-            out.append(sp.csr_matrix((data[i], indices, indptr), shape=(n, n)))
-    else:  # DenseTermBank
-        A = np.asarray(bank.A)
-        for i in range(A.shape[0]):
-            out.append(sp.csr_matrix(A[i]))
-    return out
+    """Host scipy-CSR mirrors of every term of a DIA/CSR/dense bank (no
+    device->host fetch when the bank carries its construction-time host
+    mirror — required on tunneled TPU runtimes)."""
+    return bank.host_csr_terms()
 
 
 def collect_spmf_terms(nep):
@@ -188,11 +161,13 @@ def _spmf_host_resnorm(mats, fv):
 
 def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
                   v=None, dtype=jnp.float32, lu_piv=None, bank=None,
+                  check_error_every=None, errmeasure=None,
                   return_info=False):
     """Complex-as-real IAR on a real-operand SPMF (gun-class problems).
 
-    Same contract as :func:`neptpu.solvers.iar_real.iar_real`; ``bank``
-    optionally reuses a prebuilt merged real term bank.
+    Same contract as :func:`neptpu.solvers.iar_real.iar_real` (including
+    ``check_error_every`` early exit); ``bank`` optionally reuses a prebuilt
+    merged real term bank.
     """
     mats, fv = collect_spmf_terms(nep)
     n = mats[0].shape[0]
@@ -225,35 +200,13 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     Cre, Cim = spmf_coeff_table(fv, sigma, gamma, m)
     if v is None:
         v = np.ones(n)
-    v = np.asarray(v, dtype=complex)
 
-    t0 = time.perf_counter()
-    Vre, Vim, Hre, Him = iar_real_scan(
-        bank, m,
-        jnp.asarray(Cre, dt), jnp.asarray(Cim, dt),
-        jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),  # no virtual -lam*I term
-        jnp.asarray(v.real, dt), jnp.asarray(v.imag, dt),
-        lu_piv[0].astype(dt), lu_piv[1],
-    )
-    Hre_h = np.asarray(Hre, dtype=np.float64)
-    Him_h = np.asarray(Him, dtype=np.float64)
-    t_scan = time.perf_counter() - t0
-
-    H = Hre_h[:m, :m] + 1j * Him_h[:m, :m]
-    D, Z = np.linalg.eig(H)
-    lams = complex(sigma) + complex(gamma) / D
-    V0 = (np.asarray(Vre[:, 0, :], dtype=np.float64)
-          + 1j * np.asarray(Vim[:, 0, :], dtype=np.float64)).T
-    Q = V0[:, :m] @ Z
-    Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
-
-    rn = _spmf_host_resnorm(mats, fv)
-    errs = np.array([rn(lams[s], Q[:, s]) for s in range(len(lams))])
-    idx = np.argsort(errs)
-    nconv = int(np.sum(errs < tol))
-    take = idx[: min(neigs, nconv)]
-    info = {"t_factorize": t_fact, "t_scan": t_scan, "nconv": nconv,
-            "errs": errs[idx]}
+    rn = errmeasure if errmeasure is not None else _spmf_host_resnorm(mats, fv)
+    lams, Q, info = run_iar_real(
+        bank, m, Cre, Cim, 0.0, v, lu_piv, dt,  # no virtual -lam*I term
+        sigma=sigma, gamma=gamma, neigs=neigs, tol=tol, resnorm=rn, n=n,
+        check_error_every=check_error_every)
+    info["t_factorize"] = t_fact
     if return_info:
-        return lams[take], Q[:, take], info
-    return lams[take], Q[:, take]
+        return lams, Q, info
+    return lams, Q

@@ -139,3 +139,19 @@ def test_sharded_contour_moments_match_serial():
     for j in range(2):
         np.testing.assert_allclose(np.asarray(A[j]), np.asarray(A_ref[j]),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_contour_beyn_mesh_matches_serial():
+    """Solver-level sharded quadrature: contour_beyn(mesh=...) == serial
+    contour_beyn spectra (node axis over 8 virtual devices)."""
+    from neptpu.solvers.contour import contour_beyn
+
+    nep = nep_gallery("dep0")
+    mesh = make_mesh(rows=1, nodes=8)
+    kw = dict(sigma=-0.2, radius=0.7, neigs=2, N=64, tol=1e-6)
+    lam_s, V_s = contour_beyn(nep, **kw)
+    lam_p, V_p = contour_beyn(nep, mesh=mesh, **kw)
+    lam_s, lam_p = np.asarray(lam_s), np.asarray(lam_p)
+    assert len(lam_p) == len(lam_s) >= 1
+    np.testing.assert_allclose(np.sort_complex(lam_p), np.sort_complex(lam_s),
+                               rtol=1e-7, atol=1e-9)

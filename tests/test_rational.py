@@ -212,3 +212,29 @@ def test_nleigs_nep_types():
         assert len(lam) == 4, name
         for t in true:
             assert np.min(np.abs(lam - t)) < 1e-6, name
+
+
+def test_nleigs_lowrank_matrix_free():
+    """Matrix-free low-rank branch (computeD=False): tail divided differences
+    applied through the compacted LL + scalar weights (reference
+    ``rk_nep.jl:102-153``, ``method_nleigs.jl:507-511``) must reproduce the
+    explicit-D spectrum."""
+    import scipy.sparse as sp
+
+    from neptpu import LowRankFactorizedNEP, SumNEP
+
+    B = [np.array([[1.0, 3], [5, 6]]), np.array([[3.0, 4], [6, 6]])]
+    fsq = lambda S: (np.asarray(S) @ np.asarray(S)) if np.asarray(S).ndim >= 2 else np.asarray(S) ** 2
+    nep = SumNEP(neptpu.PEP(B),
+                 LowRankFactorizedNEP([sp.csr_matrix(np.eye(2))],
+                                      [sp.csr_matrix(np.eye(2))], [fsq],
+                                      A=[np.eye(2)]))
+    lam_d, _, _, _ = nleigs(nep, SIGMA, maxit=10, v=np.ones(2) + 0j,
+                            blksize=5, computeD=True)
+    lam_f, X, res, _ = nleigs(nep, SIGMA, maxit=10, v=np.ones(2) + 0j,
+                              blksize=5, computeD=False)
+    lam_d, lam_f = np.asarray(lam_d), np.asarray(lam_f)
+    assert len(lam_f) == len(lam_d) == 4
+    for t in lam_d:
+        assert np.min(np.abs(lam_f - t)) < 1e-8
+    assert np.max(np.asarray(res)) < 1e-6
