@@ -234,10 +234,32 @@ def assemble_waveguide_spmf_fd(nx, nz, hx, Dxx, Dzz, Dz, C1, C2T, K, Km, Kp):
             out = 1j * sqrt_schur_pos_imag(beta) + d0 * I
             return jnp.asarray(out[0, 0] if scalar else out)
 
-        return f
+        def derivs(lam, k):
+            # f = i sqrt(lam^2 + bj lam + cj) + d0: Gegenbauer recurrence
+            # (sqrt_derivative) gives all derivatives of the sqrt at lam
+            der = 1j * sqrt_derivative(1.0, bj, cj, k - 1, lam)
+            der[0] += d0
+            return der
 
-    fv = [matfun.eye_like, lambda S: jnp.asarray(S),
-          lambda S: jnp.asarray(S) @ jnp.asarray(S) if jnp.asarray(S).ndim >= 2 else jnp.asarray(S) ** 2]
+        return matfun.with_derivs(f, derivs)
+
+    def _mono_derivs(d):
+        def derivs(lam, k):
+            import math
+
+            out = np.zeros(k, dtype=complex)
+            for j in range(min(k, d + 1)):
+                out[j] = math.factorial(d) / math.factorial(d - j) * lam ** (d - j)
+            return out
+
+        return derivs
+
+    fv = [matfun.with_derivs(matfun.eye_like, _mono_derivs(0)),
+          matfun.with_derivs(lambda S: jnp.asarray(S), _mono_derivs(1)),
+          matfun.with_derivs(
+              lambda S: jnp.asarray(S) @ jnp.asarray(S)
+              if jnp.asarray(S).ndim >= 2 else jnp.asarray(S) ** 2,
+              _mono_derivs(2))]
     for j in range(nz):
         e = np.zeros(nz)
         e[j] = 1.0

@@ -24,21 +24,24 @@ def low_rank_factors(A, tol=None):
         n, m = Ac.shape
         if Ac.nnz == 0:
             return np.zeros((n, 0)), np.zeros((m, 0))
-        r0, r1 = Ac.row.min(), Ac.row.max() + 1
-        c0, c1 = Ac.col.min(), Ac.col.max() + 1
-        B = np.asarray(Ac.tocsr()[r0:r1, c0:c1].toarray())
+        # compact onto the unique nonzero rows/cols (tighter than the
+        # reference's contiguous bounding box — exact for scattered supports)
+        urows = np.unique(Ac.row)
+        ucols = np.unique(Ac.col)
+        B = np.asarray(Ac.tocsr()[urows][:, ucols].toarray())
     else:
         B = np.asarray(A)
         n, m = B.shape
-        r0, r1, c0, c1 = 0, n, 0, m
+        urows = np.arange(n)
+        ucols = np.arange(m)
     Us, s, Vh = np.linalg.svd(B, full_matrices=False)
     if tol is None:
         tol = max(B.shape) * np.finfo(s.dtype).eps * (s[0] if s.size else 0.0)
     r = int(np.sum(s > tol))
     L = np.zeros((n, r), dtype=B.dtype)
     U = np.zeros((m, r), dtype=B.dtype)
-    L[r0:r1] = Us[:, :r] * s[:r]
-    U[c0:c1] = Vh[:r].conj().T
+    L[urows] = Us[:, :r] * s[:r]
+    U[ucols] = Vh[:r].conj().T
     return L, U
 
 

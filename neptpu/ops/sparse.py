@@ -287,7 +287,11 @@ class SparseTermBank:
             data = np.asarray(self.data)
             indices = np.asarray(self.indices)
             indptr = np.asarray(self.indptr)
-        return [sp.csr_matrix((data[i], indices, indptr), shape=self.shape)
+        # copies: consumers may mutate (eliminate_zeros etc.) and all terms
+        # share one pattern — aliasing would corrupt the bank's host mirror
+        return [sp.csr_matrix(
+                    (data[i].copy(), indices.copy(), indptr.copy()),
+                    shape=self.shape)
                 for i in range(data.shape[0])]
 
     def term_csr(self, i):

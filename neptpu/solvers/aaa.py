@@ -4,8 +4,11 @@ of the NEP's scalar functions (``svAAA``), a compact CORK pencil from the
 barycentric representation, and a CORK rational Krylov iteration with
 two-level Q/U basis compression and per-shift factorization caching.
 
-The svAAA here recomputes the Loewner-matrix SVD per step (the reference
-maintains an incremental QR — a flop optimization with identical semantics).
+The svAAA maintains an incremental QR of the growing Loewner matrix
+(reference ``method_AAAeigs.jl:537-600``): per step one Gram-Schmidt append
+plus a Cholesky correction for the zeroed support row, with the weight
+vector read off the small triangular factor's SVD — O(sM m) per step; a
+full tall-matrix SVD remains as the fallback when orthogonality is lost.
 """
 from __future__ import annotations
 
@@ -130,6 +133,16 @@ def svAAA(nep, Z, mmax=100, tol=None, cleanup=True, tol_cln=None,
 
     pol = rsd = zer = np.zeros(0, dtype=complex)
     m_final = 0
+    # Incremental QR of the growing Loewner matrix (reference
+    # ``method_AAAeigs.jl:537-600``): L = (Q Su) Hu with Q the stored basis,
+    # Su an upper-triangular correction absorbing the orthogonality loss from
+    # zeroing the new support row each step, Hu the small upper-triangular
+    # factor whose m x m SVD yields the weights — O(sM m) per step instead of
+    # a fresh O(sM m^2) SVD of the tall matrix.
+    Qm = np.zeros((M * s, mmax), dtype=complex)
+    Hu = np.zeros((mmax, mmax), dtype=complex)
+    Su = np.zeros((mmax, mmax), dtype=complex)
+    qr_ok = True
     for m in range(1, mmax + 1):
         res = np.abs(F - R)
         loc_flat = np.argmax(res)
@@ -147,12 +160,60 @@ def svAAA(nep, Z, mmax=100, tol=None, cleanup=True, tol_cln=None,
         zarr = np.asarray(z)
         fzarr = np.asarray(fzl)
         C = loewner_cols(zarr, fzarr)
-        # full Loewner matrix L[(j*M):(j+1)*M, :] = C * (F[:,j] - fz[:,j]^T)
-        Lmat = np.vstack([
-            C * (F[:, j][:, None] - fzarr[:, j][None, :]) for j in range(s)
-        ])
-        _, _, Vh = np.linalg.svd(Lmat[np.all(np.isfinite(Lmat), axis=1)], full_matrices=False)
-        w = Vh.conj().T[:, -1]
+
+        if qr_ok:
+            p = m - 1
+            rows = locz + M * np.arange(s)
+            try:
+                if p > 0:
+                    # rows of the new support point get zeroed across the
+                    # existing columns: restore orthonormality through the
+                    # Cholesky correction ee = I - q^H q
+                    q = Qm[rows, :p] @ Su[:p, :p]
+                    ee = np.eye(p) - q.conj().T @ q
+                    Lc = np.linalg.cholesky(ee)  # ee = Lc Lc^H
+                    Si = Lc.conj().T
+                    Hu[:p, :p] = Si @ Hu[:p, :p]
+                    from scipy.linalg import solve_triangular
+
+                    Su[:p, :p] = solve_triangular(
+                        Si.conj().T, Su[:p, :p].conj().T, lower=True
+                    ).conj().T
+                    Qm[rows, :p] = 0.0
+                # new Loewner column for support z_m, Gram-Schmidt appended
+                v = np.concatenate([
+                    C[:, p] * (F[:, j] - fzarr[p, j]) for j in range(s)
+                ])
+                v = np.nan_to_num(v)
+                nv = np.linalg.norm(v)
+                if p > 0:
+                    h = Su[:p, :p].conj().T @ (Qm[:, :p].conj().T @ v)
+                    Hu[:p, p] = h
+                    v = v - Qm[:, :p] @ (Su[:p, :p] @ h)
+                Hu[p, p] = np.linalg.norm(v)
+                ii = 0
+                while ii < 3 and p > 0 and Hu[p, p].real < nv / np.sqrt(2):
+                    hh = Su[:p, :p].conj().T @ (Qm[:, :p].conj().T @ v)
+                    Hu[:p, p] += hh
+                    v = v - Qm[:, :p] @ (Su[:p, :p] @ hh)
+                    nv = Hu[p, p].real
+                    Hu[p, p] = np.linalg.norm(v)
+                    ii += 1
+                Qm[:, p] = v / Hu[p, p]
+                Su[p, :p] = 0.0
+                Su[:p, p] = 0.0
+                Su[p, p] = 1.0
+                _, _, Vh = np.linalg.svd(Hu[:m, :m])
+                w = Vh.conj().T[:, -1]
+            except np.linalg.LinAlgError:
+                qr_ok = False  # orthogonality lost: fall back to full SVD
+        if not qr_ok:
+            # full Loewner L[(j*M):(j+1)*M, :] = C * (F[:,j] - fz[:,j]^T)
+            Lmat = np.vstack([
+                C * (F[:, j][:, None] - fzarr[:, j][None, :]) for j in range(s)
+            ])
+            _, _, Vh = np.linalg.svd(Lmat[np.all(np.isfinite(Lmat), axis=1)], full_matrices=False)
+            w = Vh.conj().T[:, -1]
 
         with np.errstate(all="ignore"):
             N = C @ (w[:, None] * fzarr)

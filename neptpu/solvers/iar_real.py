@@ -101,8 +101,12 @@ def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt):
         # delay terms: W = Y @ C^T, complex split into four small GEMMs
         WreT = Cre @ ytre - Cim @ ytim  # (terms, n)
         WimT = Cre @ ytim + Cim @ ytre
-        zre = bank.lincomb_apply(WreT.T).astype(dt)  # bank may be wider (f64)
-        zim = bank.lincomb_apply(WimT.T).astype(dt)
+        if hasattr(bank, "lincomb_apply_split"):  # complex-operand aware
+            zre, zim = bank.lincomb_apply_split(WreT.T, WimT.T)
+            zre, zim = zre.astype(dt), zim.astype(dt)
+        else:
+            zre = bank.lincomb_apply(WreT.T).astype(dt)  # bank may be wider
+            zim = bank.lincomb_apply(WimT.T).astype(dt)
         # identity term: -gamma * y_1
         zre = zre - gre * ytre[1] + gim * ytim[1]
         zim = zim - gre * ytim[1] - gim * ytre[1]
@@ -170,17 +174,31 @@ def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv):
     return jax.lax.scan(step, carry, jnp.arange(1, m + 1))[0]
 
 
+@jax.jit
+def _ravel1d(x):
+    return jnp.ravel(x)
+
+
+def fetch_host(x, shape=None):
+    """Device -> host through a jitted ravel: 1-D outputs carry the default
+    layout, which is the only one some tunneled TPU runtimes can transfer
+    (scan outputs may come back tiled and hit UNIMPLEMENTED on fetch)."""
+    h = np.asarray(_ravel1d(x), dtype=np.float64)
+    return h if shape is None else h.reshape(shape)
+
+
 def _extract_ritz(carry, k_done, m, n, sigma, gamma):
     """Host Ritz extraction from the first k_done Krylov steps:
     lam = sigma + gamma / theta, Q = V0[:, :k] @ Z (unit columns)."""
     Vre, Vim, Hre, Him = carry
-    Hre_h = np.asarray(Hre, dtype=np.float64)
-    Him_h = np.asarray(Him, dtype=np.float64)
+    Hre_h = fetch_host(Hre, (m + 1, m))
+    Him_h = fetch_host(Him, (m + 1, m))
     H = Hre_h[:k_done, :k_done] + 1j * Him_h[:k_done, :k_done]
     D, Z = np.linalg.eig(H)
     lams = complex(sigma) + complex(gamma) / D
-    V0 = (np.asarray(Vre[:, 0, :], dtype=np.float64)
-          + 1j * np.asarray(Vim[:, 0, :], dtype=np.float64)).T  # (n, m+1)
+    nv = Vre.shape[2]
+    V0 = (fetch_host(Vre[:, 0, :], (m + 1, nv))
+          + 1j * fetch_host(Vim[:, 0, :], (m + 1, nv))).T  # (nv, m+1)
     Q = V0[:n, :k_done] @ Z
     Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
     return lams, Q

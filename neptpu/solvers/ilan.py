@@ -88,14 +88,46 @@ def ilan(nep, dtype=None, orthmethod=None, maxit=30, linsolvercreator=None,
     )
     V[:, 0] = Q[:, 0]
 
+    def _apply_term(A, X):
+        return (np.asarray(A @ jnp.asarray(X)) if isinstance(A, jnp.ndarray)
+                else np.asarray(A.matmat(jnp.asarray(X))))
+
+    is_dep = hasattr(nep, "tauv")
+
     def Bmult(k, Qn_):
-        """Z = sum_t Av[t] Qn (G .* FDH[t]) (reference ``Bmult!`` SPMF)."""
+        """Z = sum_t Av[t] Qn (G .* FDH[t]) (reference ``Bmult!`` SPMF).
+
+        DEP fast path (reference DEP branch, ``method_ilan.jl:394-419``):
+        for a delay term f = e^{-tau lam}, FDH[i, j] = c * w_i w_j with
+        w_i = (gamma (-tau))^i, c = gamma (-tau) e^{-sigma tau} — rank one.
+        So G .* FDH = c diag(w) G diag(w); compressing G by SVD to rank q
+        (tolG = 1e-12, q ~ log k) turns the per-term SpMM from k+1 columns
+        into q columns: Z_t = c A_t [Qn (w .* U)] (w .* V)^H.
+        """
+        if is_dep:
+            Gk = G[: k + 1, : k + 1]
+            U, S, Vt = np.linalg.svd(Gk)
+            q = int(np.sum(S > 1e-12))
+            Us = U[:, :q] * np.sqrt(S[:q])
+            Vs = Vt[:q].T * np.sqrt(S[:q])
+            Z = np.zeros((n, k + 1), dtype=complex)
+            # identity term -lam I: only FDH[0][0,0] = -gamma survives
+            Z[:, 0] = -gamma * Qn_[:, 0]
+            for t, tau in enumerate(np.asarray(nep.tauv, dtype=float)):
+                w = (gamma * (-tau)) ** np.arange(k + 1)
+                c = gamma * (-tau) * np.exp(-sigma * tau)
+                QQ = Qn_[:, : k + 1] @ (Us * w[:, None])  # (n, q)
+                if q <= k + 1:
+                    Z += c * (_apply_term(Av[t + 1], QQ)
+                              @ (Vs * w[:, None]).T)
+                else:
+                    Z += c * _apply_term(
+                        Av[t + 1], QQ @ (Vs * w[:, None]).T)
+            return Z
         Z = np.zeros((n, k + 1), dtype=complex)
         for t, A in enumerate(Av):
             Wt = Qn_[:, : k + 1] @ (G[: k + 1, : k + 1] * FDH[t][: k + 1, : k + 1])
-            AW = (np.asarray(A @ jnp.asarray(Wt)) if isinstance(A, jnp.ndarray)
-                  else np.asarray(A.matmat(jnp.asarray(Wt))))
-            Z += AW
+            Z += _apply_term(A, Wt)
         return Z
 
     lam = np.zeros(0, dtype=complex)

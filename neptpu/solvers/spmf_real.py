@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sparse import make_term_bank
+from ..ops.mixed import make_mixed_bank
 from .iar_real import run_iar_real
 
 __all__ = [
@@ -133,19 +133,26 @@ def spmf_fun_scalars(fv, lam):
 
 def spmf_shift_block_lu(mats, fv, sigma, dtype=jnp.float32):
     """Real 2n x 2n block LU of M(sigma) = sum_i f_i(sigma) A_i (host
-    assembly in complex128, device factorization in ``dtype``)."""
+    assembly in complex128 — summed sparse, densified once, split directly
+    into the target dtype to halve the host->device transfer)."""
+    import scipy.sparse as sp
+
     w = spmf_fun_scalars(fv, sigma)
     M0 = None
     for wi, A in zip(w, mats):
-        T = (A * wi).toarray() if hasattr(A, "toarray") else np.asarray(A) * wi
+        T = (A * wi) if sp.issparse(A) else sp.csr_matrix(np.asarray(A) * wi)
         M0 = T if M0 is None else M0 + T
     n = M0.shape[0]
-    blk = np.zeros((2 * n, 2 * n), dtype=np.float64)
-    blk[:n, :n] = M0.real
-    blk[:n, n:] = -M0.imag
-    blk[n:, :n] = M0.imag
-    blk[n:, n:] = M0.real
-    return jax.scipy.linalg.lu_factor(jnp.asarray(blk, dtype=dtype))
+    M0 = M0.tocoo()
+    rdt = np.dtype(dtype)
+    blk = np.zeros((2 * n, 2 * n), dtype=rdt)
+    re = M0.data.real.astype(rdt)
+    im = M0.data.imag.astype(rdt)
+    np.add.at(blk, (M0.row, M0.col), re)
+    np.add.at(blk, (M0.row, M0.col + n), -im)
+    np.add.at(blk, (M0.row + n, M0.col), im)
+    np.add.at(blk, (M0.row + n, M0.col + n), re)
+    return jax.scipy.linalg.lu_factor(jnp.asarray(blk))
 
 
 def _spmf_host_resnorm(mats, fv):
@@ -175,21 +182,10 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     dt = jnp.dtype(dtype)
     if tol is None:
         tol = 1e4 * float(jnp.finfo(dt).eps)
-    for i, A in enumerate(mats):
-        vals = np.asarray(A.data if hasattr(A, "data") else A)
-        if np.iscomplexobj(vals) and vals.size and np.abs(vals.imag).max() > 0:
-            raise ValueError(
-                f"operand {i} has a nonzero imaginary part; the complex-as-"
-                "real path requires real operand matrices (complex behaviour "
-                "belongs in the term functions)")
-
     if bank is None:
-        real_mats = [
-            A.real if np.iscomplexobj(A.data if hasattr(A, "data") else A)
-            else A
-            for A in mats
-        ]
-        bank = make_term_bank(real_mats, dtype=np.dtype(dt))
+        # complex operands are fine when their imaginary parts are low-rank
+        # (WEP boundary terms); bulk-complex operands raise in the builder
+        bank = make_mixed_bank(mats, dtype=np.dtype(dt))
 
     t0 = time.perf_counter()
     if lu_piv is None:

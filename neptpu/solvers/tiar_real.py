@@ -57,8 +57,12 @@ def _tiar_step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt):
         # ---- Mlincomb via coefficient table + fused bank apply ------------
         WreT = Cre @ yre.T - Cim @ yim.T  # (terms, n)
         WimT = Cre @ yim.T + Cim @ yre.T
-        zre = bank.lincomb_apply(WreT.T).astype(dt)
-        zim = bank.lincomb_apply(WimT.T).astype(dt)
+        if hasattr(bank, "lincomb_apply_split"):  # complex-operand aware
+            zre, zim = bank.lincomb_apply_split(WreT.T, WimT.T)
+            zre, zim = zre.astype(dt), zim.astype(dt)
+        else:
+            zre = bank.lincomb_apply(WreT.T).astype(dt)
+            zim = bank.lincomb_apply(WimT.T).astype(dt)
         zre = zre - gre * yre[:, 1] + gim * yim[:, 1]
         zim = zim - gre * yim[:, 1] - gim * yre[:, 1]
 
@@ -147,16 +151,18 @@ def tiar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv):
 def _tiar_extract(carry, k_done, n, sigma, gamma):
     """Ritz pairs from the tensor basis: VV = Z[:, :k] @ a[0, :k, :k].T,
     Q = VV @ eigvecs(H[:k, :k])."""
+    from .iar_real import fetch_host
+
     Zre, Zim, are, aim, Hre, Him = carry
-    Hre_h = np.asarray(Hre, dtype=np.float64)
-    Him_h = np.asarray(Him, dtype=np.float64)
+    mp1 = Hre.shape[0]
+    Hre_h = fetch_host(Hre, (mp1, mp1 - 1))
+    Him_h = fetch_host(Him, (mp1, mp1 - 1))
     H = Hre_h[:k_done, :k_done] + 1j * Him_h[:k_done, :k_done]
     D, W = np.linalg.eig(H)
     lams = complex(sigma) + complex(gamma) / D
-    Z = (np.asarray(Zre, dtype=np.float64)
-         + 1j * np.asarray(Zim, dtype=np.float64))[:n]
-    a0 = (np.asarray(are[0], dtype=np.float64)
-          + 1j * np.asarray(aim[0], dtype=np.float64))
+    nv = Zre.shape[0]
+    Z = (fetch_host(Zre, (nv, mp1)) + 1j * fetch_host(Zim, (nv, mp1)))[:n]
+    a0 = (fetch_host(are[0], (mp1, mp1)) + 1j * fetch_host(aim[0], (mp1, mp1)))
     VV = Z[:, :k_done] @ a0[:k_done, :k_done].T
     Q = VV @ W
     Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
@@ -251,7 +257,7 @@ def tiar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
                    return_info=False):
     """Compiled complex-as-real TIAR on a real-operand SPMF (gun-class
     problems; contract of :func:`neptpu.solvers.spmf_real.iar_real_spmf`)."""
-    from ..ops.sparse import make_term_bank
+    from ..ops.mixed import make_mixed_bank
     from .spmf_real import (
         _spmf_host_resnorm,
         collect_spmf_terms,
@@ -266,12 +272,7 @@ def tiar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     if tol is None:
         tol = 1e4 * float(jnp.finfo(dt).eps)
     if bank is None:
-        real_mats = [
-            A.real if np.iscomplexobj(A.data if hasattr(A, "data") else A)
-            else A
-            for A in mats
-        ]
-        bank = make_term_bank(real_mats, dtype=np.dtype(dt))
+        bank = make_mixed_bank(mats, dtype=np.dtype(dt))
     t0 = time.perf_counter()
     if lu_piv is None:
         lu_piv = spmf_shift_block_lu(mats, fv, sigma, dtype=dt)

@@ -35,6 +35,7 @@ def test_orthogonalization_methods():
         )
 
 
+@pytest.mark.slow
 def test_iar_dep0():
     nep = nep_gallery("dep0")
     lams, Q, V = iar(nep, sigma=0.0, neigs=3, maxit=50, v=np.ones(nep.n), tol=1e-10)

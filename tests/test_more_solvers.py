@@ -99,6 +99,7 @@ def test_iar_chebyshev_dep0(method):
         assert float(compute_resnorm(nep, lam[i], np.asarray(Q)[:, i])) < 1e-9
 
 
+@pytest.mark.slow
 def test_iar_chebyshev_pep():
     nep = nep_gallery("pep0", 40)
     lam, Q = iar_chebyshev(nep, neigs=2, maxit=40, v=np.ones(40), tol=1e-8)

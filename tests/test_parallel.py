@@ -71,8 +71,28 @@ def test_halo_sharded_dia_lincomb_matches_local():
 
 
 def test_spike_banded_solver_exact():
-    """Distributed SPIKE banded solve == direct dense solve (real, block RHS,
-    and complex via the row-interleaved real form)."""
+    """Distributed SPIKE banded solve == direct dense solve (real, block
+    RHS)."""
+    import scipy.sparse as sp
+
+    from neptpu.parallel import SpikeBandedSolver, dia_strips_from_dense
+
+    rng = np.random.default_rng(0)
+    n, w = 237, 9
+    offs = [-w, -1, 0, 1, w]
+    diags = [rng.standard_normal(n - abs(o)) for o in offs]
+    diags[2] += 8.0
+    A = sp.diags(diags, offs, shape=(n, n)).toarray()
+    mesh = make_mesh(rows=8, nodes=1)
+    solver = SpikeBandedSolver(dia_strips_from_dense(A, offs), offs, mesh)
+    B = rng.standard_normal((n, 3))
+    X = np.asarray(solver.solve(B))
+    assert np.abs(A @ X - B).max() < 1e-9
+
+
+@pytest.mark.slow
+def test_spike_banded_solver_complex_interleaved():
+    """Complex banded system through the row-interleaved real SPIKE form."""
     import scipy.sparse as sp
 
     from neptpu.parallel import (
@@ -88,11 +108,6 @@ def test_spike_banded_solver_exact():
     diags[2] += 8.0
     A = sp.diags(diags, offs, shape=(n, n)).toarray()
     mesh = make_mesh(rows=8, nodes=1)
-    solver = SpikeBandedSolver(dia_strips_from_dense(A, offs), offs, mesh)
-    B = rng.standard_normal((n, 3))
-    X = np.asarray(solver.solve(B))
-    assert np.abs(A @ X - B).max() < 1e-9
-
     Ac = A + 1j * sp.diags([rng.standard_normal(n - abs(o)) for o in offs],
                            offs, shape=(n, n)).toarray()
     rstrips, roffs = interleave_complex_banded(

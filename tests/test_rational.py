@@ -74,6 +74,7 @@ def test_nleigs_static(pep2x2):
     assert len(np.asarray(lam)) == 4
 
 
+@pytest.mark.slow
 def test_nleigs_dep0():
     """reference docstring (``nleigs_coefficients.jl:40-48``): dep0 on the
     unit square."""
@@ -179,6 +180,7 @@ def test_taylor_expansion_pep():
     assert np.linalg.norm(M0 - M1) < 1e-8
 
 
+@pytest.mark.slow
 def test_nleigs_nep_types():
     """The same quadratic solved through five NEP representations
     (reference ``test/nleigs/nleigs_nep_types.jl``), including the low-rank

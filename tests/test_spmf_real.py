@@ -93,9 +93,11 @@ def test_iar_real_spmf_pep_closed_form():
         assert min(abs(la - lam_c)) < 1e-8
 
 
-def test_iar_real_spmf_rejects_complex_operands():
-    n = 8
-    A = np.eye(n) + 1j * np.diag(np.ones(n))
+def test_iar_real_spmf_rejects_bulk_complex_operands():
+    """Low-rank imaginary parts are supported (WEP boundary terms); a
+    BULK-complex operand (dense-support imaginary part) must raise."""
+    n = 80
+    A = np.eye(n) + 1j * np.diag(np.linspace(1, 2, n))
     nep = SPMF_NEP([A, np.eye(n)], [lambda S: jnp.asarray(S) ** 0,
                                     lambda S: jnp.asarray(S)],
                    check_consistency=False)

@@ -78,6 +78,7 @@ def test_wep_jarlebring_resinv_oracle(wep_jarlebring):
     assert abs(complex(lam) - JARLEBRING_REF) < 1e-9
 
 
+@pytest.mark.slow
 def test_wep_jarlebring_gmres_preconditioned(wep_jarlebring):
     """GMRES + Sylvester-SMW preconditioner linear solver path
     (reference ``wep_small.jl:56-62``)."""
@@ -103,3 +104,33 @@ def test_wep_jarlebring_iar(wep_jarlebring):
     lams = np.asarray(lams)
     assert len(lams) >= 3
     assert np.min(np.abs(lams - JARLEBRING_REF)) < 1e-10
+
+
+@pytest.mark.slow
+def test_wep_spmf_complex_as_real_iar():
+    """TPU-resident WEP path: the SPMF form (Q0/Q1/Q2 + 2nz complex rank-one
+    sqrt terms) through the complex-as-real IAR with the mixed bank — spectra
+    must match the complex iar on the same NEP (CPU f64; the identical
+    kernel runs on the real-only chip)."""
+    import jax.numpy as jnp
+
+    from neptpu.solvers.iar import iar
+    from neptpu.solvers.spmf_real import iar_real_spmf
+
+    nep = nep_gallery("waveguide", nx=11, nz=7, benchmark_problem="TAUSCH",
+                      neptype="SPMF")
+    sigma = -1.3 - 0.31j
+    m = 70
+    lam_c, _, _ = iar(nep, sigma=sigma, neigs=2, maxit=m,
+                      v=np.ones(nep.n), tol=1e-7)
+    lam_r, Q_r = iar_real_spmf(nep, sigma=sigma, maxit=m, neigs=2,
+                               tol=1e-7, dtype=jnp.float64,
+                               check_error_every=20)
+    lam_c = np.asarray(lam_c)
+    assert len(lam_r) >= 2
+    for la in lam_r[:2]:
+        # same modes; agreement limited by the eigenvalue conditioning
+        assert min(abs(la - lam_c)) < 1e-4, (la, lam_c)
+    for s in range(min(2, len(lam_r))):
+        r = float(compute_resnorm(nep, lam_r[s], jnp.asarray(Q_r[:, s])))
+        assert r < 1e-5
