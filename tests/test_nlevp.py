@@ -9,7 +9,10 @@ import pytest
 import neptpu
 from neptpu import compute_Mlincomb, compute_resnorm, nep_gallery
 
-HAS_DATA = os.path.exists("/root/reference/src/gallery_extra/converted_nlevp")
+# gallery data ships vendored in neptpu/data; the gate only matters for
+# exotic setups where the package data was stripped
+from neptpu.models.gallery.examples import data_dir
+HAS_DATA = os.path.exists(os.path.join(data_dir(), "converted_nlevp"))
 
 
 @pytest.mark.slow

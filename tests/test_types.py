@@ -24,7 +24,8 @@ from neptpu import (
 
 RNG = np.random.default_rng(5)
 
-HAS_DATA = os.path.exists("/root/reference/src/gallery_extra/converted_misc")
+from neptpu.models.gallery.examples import data_dir
+HAS_DATA = os.path.exists(os.path.join(data_dir(), "converted_misc"))
 
 
 def test_sumnep_mder():
