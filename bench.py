@@ -25,6 +25,12 @@ import os
 import time
 
 os.environ.setdefault("NEPTPU_DISABLE_X64", "1")  # f32 on the TPU bench path
+# Persistent XLA compile cache: the big scan/LU kernels dominate wall time on
+# a fresh process; the cache directory survives across bench invocations.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # XLA's blocked-LU panel needs >16 MiB scoped vmem at gun scale (2n = 19912)
 _vmem = "--xla_tpu_scoped_vmem_limit_kib=65536"
 if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
@@ -76,6 +82,27 @@ def chain_slope(step, W0, reps=4, target_span=0.1):
     return (tK2 - tK1) / (K2 - 1)
 
 
+class _PhaseTimeout(Exception):
+    pass
+
+
+def _with_deadline(fn, seconds):
+    """Run ``fn()`` under a SIGALRM deadline: a wedged tunnel RPC degrades
+    to a missing JSON key instead of hanging the whole bench run."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _PhaseTimeout(f"phase exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(seconds))
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def bench_gun_time_to_tol(maxit=30, neigs=10, tol=1e-4, chunk=10):
     """North-star #2: time-to-tol for k=10 eigenpairs on gun_like (n = 9956,
     the gun dimension; PEP + two i*sqrt boundary terms) on the real chip.
@@ -93,7 +120,11 @@ def bench_gun_time_to_tol(maxit=30, neigs=10, tol=1e-4, chunk=10):
     from neptpu.solvers.spmf_real import (_spmf_host_resnorm,
                                           collect_spmf_terms, iar_real_spmf)
 
-    nep = neptpu.nep_gallery("gun_like")
+    # the gallery ctor's aligned term bank only feeds host-side mirrors here
+    # (the TPU compute bank is rebuilt by iar_real_spmf) — keep its arrays on
+    # the host backend so the tunnel only carries the bank + LU that matter
+    with jax.default_device(jax.devices("cpu")[0]):
+        nep = neptpu.nep_gallery("gun_like")
     mats, fv = collect_spmf_terms(nep)
     fro = np.array([np.sqrt(np.abs(A.multiply(A.conj())).sum()) for A in mats])
     rn = _spmf_host_resnorm(mats, fv)
@@ -118,6 +149,53 @@ def bench_gun_time_to_tol(maxit=30, neigs=10, tol=1e-4, chunk=10):
         "gun_like_k_done": int(info["k_done"]),
         "gun_like_t_factorize_s": round(info["t_factorize"], 3),
         "gun_like_t_scan_s": round(info["t_scan"], 3),
+    }
+
+
+def bench_wep_time_to_tol(maxit=60, neigs=10, tol=1e-4, chunk=10):
+    """North-star #2b: time-to-tol for k=10 eigenpairs of the JARLEBRING
+    waveguide (nx=109, nz=105, n=11655 — the reference's ``wep_small.jl``
+    oracle configuration) on the real chip.
+
+    Same machinery as the gun phase: the WEP's SPMF form (Q0/Q1/Q2 bulk
+    terms + 2*nz complex rank-one sqrt boundary terms, reference
+    ``waveguide/Waveguide.jl:324-379``) through the complex-as-real IAR with
+    the mixed DIA+low-rank bank and one real 2n x 2n block LU; host Ritz
+    peeks every ``chunk`` steps give true time-TO-tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    import neptpu
+    from neptpu.solvers.spmf_real import (_spmf_host_resnorm,
+                                          collect_spmf_terms, iar_real_spmf,
+                                          spmf_fun_scalars)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        nep = neptpu.nep_gallery("waveguide", nx=3 * 5 * 7 + 4, nz=3 * 5 * 7,
+                                 benchmark_problem="JARLEBRING", neptype="SPMF")
+    mats, fv = collect_spmf_terms(nep)
+    fro = np.array([np.sqrt(np.abs(A.multiply(A.conj())).sum()) for A in mats])
+    rn = _spmf_host_resnorm(mats, fv)
+
+    def backward_err(lam, q):
+        scale = float(np.abs(spmf_fun_scalars(fv, lam)) @ fro)
+        return rn(lam, q) / scale
+
+    t0 = time.perf_counter()
+    lams, Q, info = iar_real_spmf(
+        nep, sigma=-3 - 3.5j, maxit=maxit, neigs=neigs, tol=tol,
+        check_error_every=chunk, errmeasure=backward_err,
+        dtype=jnp.float32, return_info=True)
+    wall = time.perf_counter() - t0
+    return {
+        "wep_time_to_tol_s": round(wall, 3),
+        "wep_n": int(nep.n),
+        "wep_k_target": int(neigs),
+        "wep_converged": int(info["nconv"]),
+        "wep_tol_backward": tol,
+        "wep_k_done": int(info["k_done"]),
+        "wep_t_factorize_s": round(info["t_factorize"], 3),
+        "wep_t_scan_s": round(info["t_scan"], 3),
     }
 
 
@@ -169,9 +247,14 @@ def main():
     }
     if os.environ.get("BENCH_GUN", "1") != "0":
         try:  # second north-star metric, same JSON line
-            result.update(bench_gun_time_to_tol())
+            result.update(_with_deadline(bench_gun_time_to_tol, 900))
         except Exception as e:  # never lose the primary metric
             result["gun_like_error"] = f"{type(e).__name__}: {e}"[:200]
+    if os.environ.get("BENCH_WEP", "1") != "0":
+        try:  # north-star #2b: the wep flagship config
+            result.update(_with_deadline(bench_wep_time_to_tol, 900))
+        except Exception as e:
+            result["wep_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 

@@ -8,6 +8,7 @@ Python callable ``(lam, v) -> err`` is accepted anywhere an Errmeasure is
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .nep import compute_Mlincomb
@@ -27,17 +28,41 @@ class Errmeasure:
         raise NotImplementedError
 
 
-class ResidualErrmeasure(Errmeasure):
+class _JitOrEagerErrmeasure(Errmeasure):
+    """Shared machinery: compile the measure once (lam/v as traced args, so
+    new Ritz values do NOT retrace) and fall back to eager evaluation for
+    NEPs whose term functions are host-only (e.g. mpmath-backed fiber)."""
+
+    def _measure(self, lam, v):  # overridden
+        raise NotImplementedError
+
+    def __call__(self, lam, v):
+        lam = jnp.asarray(lam)
+        v = jnp.asarray(v)
+        fn = getattr(self, "_fn", None)
+        if fn is None:
+            fn = jax.jit(self._measure)
+            try:
+                out = fn(lam, v)
+            except Exception:
+                fn = self._measure
+                out = fn(lam, v)
+            self._fn = fn
+            return out
+        return fn(lam, v)
+
+
+class ResidualErrmeasure(_JitOrEagerErrmeasure):
     """||M(lam) v|| / ||v|| (reference ``errmeasure.jl:114-130``)."""
 
     def __init__(self, nep):
         self.nep = nep
 
-    def __call__(self, lam, v):
+    def _measure(self, lam, v):
         return jnp.linalg.norm(compute_Mlincomb(self.nep, lam, v)) / jnp.linalg.norm(v)
 
 
-class StandardSPMFErrmeasure(Errmeasure):
+class StandardSPMFErrmeasure(_JitOrEagerErrmeasure):
     """Backward error with precomputed Frobenius coefficients
     (reference ``errmeasure.jl:174-191``):
     ||M(lam)v|| / (sum_i |f_i(lam)| ||A_i||_F ||v||)."""
@@ -47,7 +72,7 @@ class StandardSPMFErrmeasure(Errmeasure):
         bank = getattr(nep, "bank", None)
         self.coeffs = bank.fro_norms if bank is not None else None
 
-    def __call__(self, lam, v):
+    def _measure(self, lam, v):
         nep = self.nep
         num = jnp.linalg.norm(compute_Mlincomb(nep, lam, v))
         fvals = jnp.abs(nep.fv_scalar(lam))

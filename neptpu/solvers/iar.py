@@ -62,24 +62,31 @@ def iar(nep, dtype=None, orthmethod=None, maxit=30, linsolvercreator=None,
     conv_eig = 0
     idx = None
     while k <= m and conv_eig < neigs:
-        y = np.zeros((n, k + 1), dtype=complex)
+        # FIXED-SHAPE iteration: y, the coefficient vector and the basis are
+        # kept at their final padded sizes with zero tails (zero columns and
+        # zero coefficients contribute nothing), so every jax call in the
+        # loop compiles exactly once instead of once per Krylov step.
+        y = np.zeros((n, m + 1), dtype=complex)
         # y[:, 1:k+1] = previous basis vector's blocks, scaled by 1/(1:k)
         y[:, 1 : k + 1] = V[: n * k, k - 1].reshape(k, n).T / np.arange(1, k + 1)
+        a_k = np.zeros(m + 1, dtype=complex)
+        a_k[: k + 1] = alpha[: k + 1]
         # y[:, 0] = -M(sigma)^{-1} * Mlincomb(y, alpha)
-        z = compute_Mlincomb(nep, sigma, jnp.asarray(y), jnp.asarray(alpha[: k + 1]))
+        z = compute_Mlincomb(nep, sigma, jnp.asarray(y), jnp.asarray(a_k))
         y0 = -np.asarray(lin_solve(M0inv, z))
         y[:, 0] = y0
-        vv = y.T.reshape(-1)  # stacked blocks, length n(k+1)
-        VV = jnp.asarray(V[: n * (k + 1), :k])
-        w, h, beta = orthogonalize_and_normalize(VV, jnp.asarray(vv), orthmethod)
-        H[:k, k - 1] = np.asarray(h)
+        vv = np.zeros(n * (m + 1), dtype=complex)
+        vv[: n * (k + 1)] = y[:, : k + 1].T.reshape(-1)  # stacked blocks
+        w, h, beta = orthogonalize_and_normalize(
+            jnp.asarray(V), jnp.asarray(vv), orthmethod)
+        H[:k, k - 1] = np.asarray(h)[:k]
         H[k, k - 1] = complex(beta)
-        V[: n * (k + 1), k] = np.asarray(w)
+        V[:, k] = np.asarray(w)
 
         if (k % check_error_every == 0) or k == m:
-            D, Z = lapack.eig(jnp.asarray(H[:k, :k]))
-            D = np.asarray(D)
-            Z = np.asarray(Z)
+            # H is host data in a host loop: numpy LAPACK directly (the
+            # traceable ops.lapack.eig callback would recompile per k)
+            D, Z = np.linalg.eig(H[:k, :k].astype(np.complex128))
             Q = V[:n, :k] @ Z
             lams = sigma + gamma / D
             if proj_solve:

@@ -193,18 +193,24 @@ def iar_chebyshev(nep, dtype=None, orthmethod=None, maxit=30,
             y0 = -np.asarray(lin_solve(M0inv, jnp.asarray(y0)))
             return y0 - Y[:, : k + 1] @ Tc[: k + 1]
         if compute_y0_method == ":SPMF":
-            y0 = np.zeros((n, k), dtype=complex)
+            # pad to the final column count so apply_A compiles once
+            y0 = np.zeros((n, m), dtype=complex)
+            Z = np.zeros((n, m), dtype=complex)
             for i, f in enumerate(fv):
-                y0 += apply_A(Av[i], X @ DDf[i][:k, :k])
-            y0 = y0 @ Tc[:k]
+                Z[:, :k] = X @ DDf[i][:k, :k]
+                y0 += apply_A(Av[i], Z)
+            y0 = y0[:, :k] @ Tc[:k]
             y0 = -np.asarray(lin_solve(M0inv, jnp.asarray(y0)))
             return y0 - Y[:, : k + 1] @ Tc[: k + 1]
         # generic: cheb -> monomial -> Taylor-IAR step -> back
-        Y2 = np.zeros((n, k + 1), dtype=complex)
+        # (padded to m+1 columns with zero coefficients: one compile)
+        Y2 = np.zeros((n, m + 1), dtype=complex)
         Y2[:, 1 : k + 1] = (X @ P[:k, :k]) / np.arange(1, k + 1)
-        z = compute_Mlincomb(nep, sigma, jnp.asarray(Y2[:, : k + 1]), jnp.asarray(alpha[: k + 1]))
+        a_k = np.zeros(m + 1, dtype=complex)
+        a_k[: k + 1] = alpha[: k + 1]
+        z = compute_Mlincomb(nep, sigma, jnp.asarray(Y2), jnp.asarray(a_k))
         Y2[:, 0] = -np.asarray(lin_solve(M0inv, z))
-        Y2 = Y2 @ P_inv[: k + 1, : k + 1]
+        Y2 = Y2[:, : k + 1] @ P_inv[: k + 1, : k + 1]
         Y[:, : k + 1] = Y2
         return Y2[:, 0]
 
@@ -216,16 +222,20 @@ def iar_chebyshev(nep, dtype=None, orthmethod=None, maxit=30,
         if compute_y0_method != ":Generic":
             y[:, 1 : k + 1] = X @ L[:k, :k]
         y[:, 0] = compute_y0(X, y, k)
-        vv = y.T.reshape(-1)
+        # fixed-shape orthogonalization: the zero tail of the preallocated
+        # basis/candidate contributes nothing, and every jax call in the
+        # loop compiles exactly once
+        vv = np.zeros(n * (m + 1), dtype=complex)
+        vv[: n * (k + 1)] = y[:, : k + 1].T.reshape(-1)
         w, h, beta = orthogonalize_and_normalize(
-            jnp.asarray(V[: n * (k + 1), :k]), jnp.asarray(vv), orthmethod
+            jnp.asarray(V), jnp.asarray(vv), orthmethod
         )
-        H[:k, k - 1] = np.asarray(h)
+        H[:k, k - 1] = np.asarray(h)[:k]
         H[k, k - 1] = complex(beta)
-        V[: n * (k + 1), k] = np.asarray(w)
+        V[:, k] = np.asarray(w)
 
         if ((k % check_error_every == 0) or k == m) and k > 2:
-            D, Z = (np.asarray(x) for x in lapack.eig(jnp.asarray(H[:k, :k])))
+            D, Z = np.linalg.eig(H[:k, :k].astype(np.complex128))
             Q = V[:n, :k] @ Z
             lams = sigma + gamma / D
             errs = np.array(

@@ -73,17 +73,24 @@ def dep_shift_block_lu(nep, sigma, dtype=jnp.float32):
     M(sigma) is assembled on the HOST in complex128 (the TPU backend has no
     complex dtype and tunneled runtimes cannot fetch complex device arrays).
     """
+    import scipy.sparse as sp
+
     sigma = complex(sigma)
-    M0 = -sigma * np.eye(nep.n, dtype=complex)
+    n = nep.n
+    M0 = sp.coo_matrix((np.full(n, -sigma), (np.arange(n), np.arange(n))),
+                       shape=(n, n)).tocsr()
     for t, A in zip(np.asarray(nep.tauv, dtype=float), nep.bank.host_csr_terms()):
-        M0 = M0 + np.exp(-t * sigma) * A.toarray()
-    n = M0.shape[0]
-    blk = np.zeros((2 * n, 2 * n), dtype=np.float64)
-    blk[:n, :n] = M0.real
-    blk[:n, n:] = -M0.imag
-    blk[n:, :n] = M0.imag
-    blk[n:, n:] = M0.real
-    return jax.scipy.linalg.lu_factor(jnp.asarray(blk, dtype=dtype))
+        M0 = M0 + np.exp(-t * sigma) * A
+    M0 = M0.tocoo()
+    rdt = np.dtype(dtype)
+    from .spmf_real import _block_assemble_lu
+
+    return _block_assemble_lu(
+        jnp.asarray(M0.row.astype(np.int32)),
+        jnp.asarray(M0.col.astype(np.int32)),
+        jnp.asarray(M0.data.real.astype(rdt)),
+        jnp.asarray(M0.data.imag.astype(rdt)),
+        2 * n)
 
 
 def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt):
@@ -292,6 +299,17 @@ def iar_real(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None, v=None,
     t_fact = time.perf_counter() - t0
 
     Cre, Cim = dep_coeff_table(nep, sigma, gamma, m)
+    from .spmf_real import finite_table_prefix
+
+    m_fin = finite_table_prefix(Cre, Cim, dt)
+    if m_fin < m:
+        import warnings
+
+        warnings.warn(
+            f"DEP coefficient table overflows {np.dtype(dt)} past derivative "
+            f"order {m_fin}; truncating maxit {m} -> {m_fin}")
+        m = m_fin
+        Cre, Cim = Cre[:, : m + 1], Cim[:, : m + 1]
     if v is None:
         v = np.ones(n)
 

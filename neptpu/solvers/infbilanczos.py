@@ -47,10 +47,15 @@ def infbilanczos(nep, nept, dtype=None, maxit=30, linsolvercreator=None,
 
     def left_right_scalar_prod(At, B, ma, mb):
         c = 0.0 + 0.0j
+        # XX is zero-padded to its final width so the Mlincomb inside
+        # compiles once per derivative offset j (not once per (j, mb) pair)
+        XX = np.zeros((n, m + 1), dtype=complex)
+        ones = np.ones(m + 1)
         for j in range(1, ma + 1):
             dd = np.exp(-np.array([_lfact(i) for i in range(j, j + mb)]))
-            XX = B[:, :mb] * dd[None, :]
-            z = -mlin(nep, sigma, XX, np.ones(mb), j)
+            XX[:, :mb] = B[:, :mb] * dd[None, :]
+            XX[:, mb:] = 0.0
+            z = -mlin(nep, sigma, XX, ones, j)
             c = c + At[:, j - 1].conj() @ z
         return c
 
@@ -84,11 +89,14 @@ def infbilanczos(nep, nept, dtype=None, maxit=30, linsolvercreator=None,
         Q_basis[:, k - 1] = Q1[:, 0]
 
         Dk = np.exp(-np.array([_lfact(i) for i in range(1, k + 1)]))
+        QD = np.zeros((n, m), dtype=complex)
+        QD[:, :k] = Q1[:, :k] * Dk[None, :]
         b1 = -np.asarray(lin_solve(M0inv, jnp.asarray(
-            mlin(nep, sigma, Q1[:, :k] * Dk[None, :], np.ones(k), 1))))
+            mlin(nep, sigma, QD, np.ones(m), 1))))
         Z2[:, k - 1] = b1
+        QD[:, :k] = Qt1[:, :k] * Dk[None, :]
         bt1 = -np.asarray(lin_solve(M0Tinv, jnp.asarray(
-            mlin(nept, np.conj(sigma), Qt1[:, :k] * Dk[None, :], np.ones(k), 1))))
+            mlin(nept, np.conj(sigma), QD, np.ones(m), 1))))
         Zt2[:, k - 1] = bt1
 
         R2[:, 0] = Z2[:, k - 1]

@@ -25,6 +25,7 @@ term disabled — here every term, including the PEP part, lives in the bank).
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ __all__ = [
     "term_matrices",
     "collect_spmf_terms",
     "spmf_coeff_table",
+    "finite_table_prefix",
     "spmf_fun_scalars",
     "spmf_shift_block_lu",
     "iar_real_spmf",
@@ -113,6 +115,24 @@ def spmf_coeff_table(fv, sigma, gamma, m):
     return np.ascontiguousarray(C.real), np.ascontiguousarray(C.imag)
 
 
+def finite_table_prefix(Cre, Cim, dtype):
+    """Largest k such that columns 0..k of the coefficient table are finite
+    and representable in ``dtype`` with GEMM headroom.
+
+    Derivative tables of sqrt/exp-type terms grow like ``(gamma/R)^j j!``
+    past the branch-point radius R and overflow float32 around order 40-60;
+    a padded-basis GEMM then multiplies those inf columns by the zero
+    padding and poisons the whole scan with ``0 * inf = NaN`` from step 1.
+    Callers truncate ``maxit`` to the returned prefix (the orders a
+    low-precision IAR could use are long exhausted by then anyway)."""
+    colmax = np.maximum(np.abs(Cre), np.abs(Cim)).max(axis=0)
+    # headroom: a scan step contracts ~m table entries against a unit basis
+    cap = float(jnp.finfo(jnp.dtype(dtype)).max) / max(16 * len(colmax), 256)
+    ok = np.isfinite(colmax) & (colmax <= cap)
+    bad = np.nonzero(~ok)[0]
+    return int(bad[0] - 1) if bad.size else int(len(colmax) - 1)
+
+
 def spmf_fun_scalars(fv, lam):
     """[f_i(lam)] in complex128 on the host (assembly + residuals)."""
     vals = np.zeros(len(fv), dtype=complex)
@@ -131,10 +151,25 @@ def spmf_fun_scalars(fv, lam):
     return vals
 
 
+@partial(jax.jit, static_argnames=("two_n",))
+def _block_assemble_lu(rows, cols, re, im, two_n):
+    """Scatter the COO triplets of M(sigma) into the real 2n x 2n block form
+    [[Re, -Im], [Im, Re]] on DEVICE and LU-factorize there.  Only the nnz
+    triplets cross the host->device link (a few MB) instead of the dense
+    (2n)^2 block (GBs at gun/wep scale — 146 s over a tunneled runtime)."""
+    n = two_n // 2
+    blk = jnp.zeros((two_n, two_n), dtype=re.dtype)
+    blk = blk.at[rows, cols].add(re)
+    blk = blk.at[rows, cols + n].add(-im)
+    blk = blk.at[rows + n, cols].add(im)
+    blk = blk.at[rows + n, cols + n].add(re)
+    return jax.scipy.linalg.lu_factor(blk)
+
+
 def spmf_shift_block_lu(mats, fv, sigma, dtype=jnp.float32):
-    """Real 2n x 2n block LU of M(sigma) = sum_i f_i(sigma) A_i (host
-    assembly in complex128 — summed sparse, densified once, split directly
-    into the target dtype to halve the host->device transfer)."""
+    """Real 2n x 2n block LU of M(sigma) = sum_i f_i(sigma) A_i (weights and
+    the sparse sum in complex128 on the host; densification, block split and
+    LU on the device from the COO triplets)."""
     import scipy.sparse as sp
 
     w = spmf_fun_scalars(fv, sigma)
@@ -145,14 +180,12 @@ def spmf_shift_block_lu(mats, fv, sigma, dtype=jnp.float32):
     n = M0.shape[0]
     M0 = M0.tocoo()
     rdt = np.dtype(dtype)
-    blk = np.zeros((2 * n, 2 * n), dtype=rdt)
-    re = M0.data.real.astype(rdt)
-    im = M0.data.imag.astype(rdt)
-    np.add.at(blk, (M0.row, M0.col), re)
-    np.add.at(blk, (M0.row, M0.col + n), -im)
-    np.add.at(blk, (M0.row + n, M0.col), im)
-    np.add.at(blk, (M0.row + n, M0.col + n), re)
-    return jax.scipy.linalg.lu_factor(jnp.asarray(blk))
+    return _block_assemble_lu(
+        jnp.asarray(M0.row.astype(np.int32)),
+        jnp.asarray(M0.col.astype(np.int32)),
+        jnp.asarray(M0.data.real.astype(rdt)),
+        jnp.asarray(M0.data.imag.astype(rdt)),
+        2 * n)
 
 
 def _spmf_host_resnorm(mats, fv):
@@ -194,6 +227,15 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     t_fact = time.perf_counter() - t0
 
     Cre, Cim = spmf_coeff_table(fv, sigma, gamma, m)
+    m_fin = finite_table_prefix(Cre, Cim, dt)
+    if m_fin < m:
+        import warnings
+
+        warnings.warn(
+            f"coefficient table overflows {np.dtype(dt)} past derivative "
+            f"order {m_fin}; truncating maxit {m} -> {m_fin}")
+        m = m_fin
+        Cre, Cim = Cre[:, : m + 1], Cim[:, : m + 1]
     if v is None:
         v = np.ones(n)
 

@@ -59,19 +59,23 @@ def tiar(nep, dtype=None, orthmethod=None, maxit=30, linsolvercreator=None,
     k = 1
     conv_eig = 0
     while k <= m and conv_eig < neigs:
-        y = np.zeros((n, k + 1), dtype=complex)
+        # FIXED-SHAPE iteration (one compile for the whole loop): y and the
+        # coefficient vector are padded to their final sizes with zeros, and
+        # the candidate is orthogonalized against the full preallocated basis
+        # (its not-yet-filled columns are zero and contribute nothing).
+        y = np.zeros((n, m + 1), dtype=complex)
         # y[:, 1:k+1] = Z[:, :k] @ a[:k, k-1, :k]^T, columns scaled by 1/(1:k)
-        y[:, 1 : k + 1] = np.asarray(
-            jnp.asarray(Z[:, :k]) @ jnp.asarray(a[:k, k - 1, :k].T)
-        ) / np.arange(1, k + 1)
-        z = compute_Mlincomb(nep, sigma, jnp.asarray(y), jnp.asarray(alpha[: k + 1]))
+        y[:, 1 : k + 1] = (Z[:, :k] @ a[:k, k - 1, :k].T) / np.arange(1, k + 1)
+        a_k = np.zeros(m + 1, dtype=complex)
+        a_k[: k + 1] = alpha[: k + 1]
+        z = compute_Mlincomb(nep, sigma, jnp.asarray(y), jnp.asarray(a_k))
         y[:, 0] = -np.asarray(lin_solve(M0inv, z))
 
         # Gram-Schmidt of y[:, 0] against Z
         w, tk, beta = orthogonalize_and_normalize(
-            jnp.asarray(Z[:, :k]), jnp.asarray(y[:, 0]), orthmethod
+            jnp.asarray(Z), jnp.asarray(y[:, 0]), orthmethod
         )
-        t[:k] = np.asarray(tk)
+        t[:k] = np.asarray(tk)[:k]
         t[k] = complex(beta)
         Z[:, k] = np.asarray(w)
 
@@ -101,9 +105,9 @@ def tiar(nep, dtype=None, orthmethod=None, maxit=30, linsolvercreator=None,
         a[: k + 1, k, : k + 1] = f[: k + 1, : k + 1] / beta2
 
         if (k % check_error_every == 0) or k == m:
-            D, W = lapack.eig(jnp.asarray(H[:k, :k]))
-            D = np.asarray(D)
-            W = np.asarray(W)
+            # host data in a host loop: numpy LAPACK (the traceable
+            # ops.lapack.eig callback would recompile per k)
+            D, W = np.linalg.eig(H[:k, :k].astype(np.complex128))
             VV = Z[:, :k] @ a[0, :k, :k].T
             Q = VV @ W
             lams = sigma + gamma / D

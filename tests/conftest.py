@@ -22,3 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache: the fast tier is dominated by compiles of
+# the big scan kernels (iar_jit, tiar_real, SPIKE), which are identical
+# run-to-run.  Cache them next to the tests (gitignored); CI restores the
+# directory between builds.
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
