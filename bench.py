@@ -18,7 +18,12 @@ timed as the SLOPE of wall time over chain length for a data-dependent chain
 slope of the chain scaffolding alone.  This measures true sequential device
 time per application.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output protocol: the driver keeps the LAST complete JSON line it sees.  The
+primary metric is computed and printed (flushed) FIRST; each optional phase
+(gun_like / WEP time-to-tol) then re-prints the full merged JSON line as soon
+as it completes, under its own deadline.  A driver timeout at any point
+therefore records everything finished so far — round 2 lost its artifact by
+printing only once at the very end.
 """
 import json
 import os
@@ -103,7 +108,7 @@ def _with_deadline(fn, seconds):
         signal.signal(signal.SIGALRM, old)
 
 
-def bench_gun_time_to_tol(maxit=30, neigs=10, tol=1e-4, chunk=10):
+def bench_gun_time_to_tol(maxit=60, neigs=10, tol=1e-6, chunk=10):
     """North-star #2: time-to-tol for k=10 eigenpairs on gun_like (n = 9956,
     the gun dimension; PEP + two i*sqrt boundary terms) on the real chip.
 
@@ -245,17 +250,22 @@ def main():
         "unit": "nnz/s",
         "vs_baseline": float(f"{t_csr / t_dia:.4g}"),
     }
+    # Flush the primary metric IMMEDIATELY: the driver keeps the last complete
+    # JSON line, so anything printed here survives a later timeout/kill.
+    print(json.dumps(result), flush=True)
+    budget = int(os.environ.get("BENCH_PHASE_BUDGET_S", 280))
     if os.environ.get("BENCH_GUN", "1") != "0":
-        try:  # second north-star metric, same JSON line
-            result.update(_with_deadline(bench_gun_time_to_tol, 900))
+        try:  # second north-star metric, merged into the same JSON line
+            result.update(_with_deadline(bench_gun_time_to_tol, budget))
         except Exception as e:  # never lose the primary metric
             result["gun_like_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(result), flush=True)
     if os.environ.get("BENCH_WEP", "1") != "0":
         try:  # north-star #2b: the wep flagship config
-            result.update(_with_deadline(bench_wep_time_to_tol, 900))
+            result.update(_with_deadline(bench_wep_time_to_tol, budget))
         except Exception as e:
             result["wep_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(result))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -54,14 +54,18 @@ def _dep_host_resnorm(nep):
     return resnorm
 
 
-def dep_coeff_table(nep, sigma, gamma, m):
+def dep_coeff_table(nep, sigma, gamma, m, scaled=False):
     """C[i, j] = gamma^j (-tau_i)^j e^{-tau_i sigma} (j = 0..m, column 0
     zeroed: the IAR linear combination starts at the first derivative).
+    ``scaled`` divides column j by j! (for the Taylor-normalized kernels),
+    built by a progressive row recurrence so no intermediate over/underflows.
     Returns (Cre, Cim) numpy float64."""
     tau = np.asarray(nep.tauv, dtype=float)
-    j = np.arange(m + 1)
-    C = (complex(gamma) ** j)[None, :] * ((-tau[:, None]) ** j[None, :]) \
-        * np.exp(-tau[:, None] * complex(sigma))
+    C = np.zeros((len(tau), m + 1), dtype=complex)
+    C[:, 0] = np.exp(-tau * complex(sigma))
+    r = -complex(gamma) * tau  # per-row column ratio
+    for j in range(1, m + 1):
+        C[:, j] = C[:, j - 1] * (r / j if scaled else r)
     C[:, 0] = 0.0
     return np.ascontiguousarray(C.real), np.ascontiguousarray(C.imag)
 
@@ -93,15 +97,31 @@ def dep_shift_block_lu(nep, sigma, dtype=jnp.float32):
         2 * n)
 
 
-def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt):
+def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=False,
+             inv_theta=1.0):
     """One complex-as-real IAR step (shared by the full-run and chunked
-    scans); ``k`` is the 1-based dynamic step index."""
+    scans); ``k`` is the 1-based dynamic step index.
+
+    ``scaled``: run in the Taylor-normalized space ``u_j = (j!/theta^j) y_j``
+    — the block shift carries a constant ``1/theta`` factor instead of
+    ``1/(j+1)`` and the coefficient table must be the SCALED table
+    ``C[i, j] = gamma^j theta^j f_i^{(j)}(sigma) / j!`` (and the virtual
+    identity coefficient gains a ``theta``).  The companion operator is
+    diagonally similar to the unscaled one (same spectrum;
+    ``lam = sigma + gamma / ritz`` unchanged; Ritz-vector block 0 unchanged
+    since the j=0 scaling is 1).  With ``theta`` matched to the table's
+    geometric envelope (``~R/gamma``, R = distance from sigma to the nearest
+    singularity), the table entries stay O(1) instead of growing like
+    ``j! (gamma/R)^j`` — float32 stops overflowing around order ~40 and the
+    basis blocks stop under/overflowing, so the Krylov degree is no longer
+    capped by the dtype (VERDICT r2 'f32 degree ceiling')."""
     jblk = jnp.arange(m + 1)
     n = lu.shape[0] // 2
 
     def step(carry, k):
         Vre, Vim, Hre, Him = carry
-        scale = jnp.where(jblk < k, 1.0 / (jblk + 1.0), 0.0).astype(dt)
+        sj = inv_theta if scaled else 1.0 / (jblk + 1.0)
+        scale = jnp.where(jblk < k, sj, 0.0).astype(dt)
         ytre = jnp.roll(Vre[k - 1] * scale[:, None], 1, axis=0)  # (m+1, n)
         ytim = jnp.roll(Vim[k - 1] * scale[:, None], 1, axis=0)
 
@@ -158,16 +178,19 @@ def _init_carry(m, v0re, v0im, dt):
     return (Vre, Vim, H0, H0)
 
 
-@partial(jax.jit, static_argnames=("m", "nsteps"))
-def _scan_chunk(bank, m, nsteps, k0, carry, Cre, Cim, gre, gim, lu, piv):
+@partial(jax.jit, static_argnames=("m", "nsteps", "scaled"))
+def _scan_chunk(bank, m, nsteps, k0, carry, Cre, Cim, gre, gim, lu, piv,
+                scaled=False, inv_theta=1.0):
     """Advance ``nsteps`` IAR steps starting at (1-based) step ``k0``."""
     dt = carry[0].dtype
-    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt)
+    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=scaled,
+                    inv_theta=inv_theta)
     return jax.lax.scan(step, carry, k0 + jnp.arange(nsteps))[0]
 
 
-@partial(jax.jit, static_argnames=("m",))
-def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv):
+@partial(jax.jit, static_argnames=("m", "scaled"))
+def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv,
+                  scaled=False, inv_theta=1.0):
     """Run m complex-as-real IAR steps.
 
     bank: term bank pytree (offsets ride in static aux data, the diagonal
@@ -177,7 +200,8 @@ def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv):
     """
     dt = jnp.result_type(v0re.dtype, Cre.dtype)
     carry = _init_carry(m, v0re.astype(dt), v0im.astype(dt), dt)
-    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt)
+    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=scaled,
+                    inv_theta=inv_theta)
     return jax.lax.scan(step, carry, jnp.arange(1, m + 1))[0]
 
 
@@ -211,8 +235,41 @@ def _extract_ritz(carry, k_done, m, n, sigma, gamma):
     return lams, Q
 
 
+def auto_theta(Sre, Sim, m, dt):
+    """Fit the Taylor-space scale ``theta`` to a per-factorial table
+    ``S[i, j] = gamma^j f_i^{(j)}(sigma) / j!``.
+
+    The envelope ``g_j = max_i |S_ij|`` behaves like ``(gamma/R)^j`` (R =
+    distance from sigma to the nearest singularity); choosing ``theta =
+    exp(-slope of log g_j)`` makes the scaled table ``S_j theta^j`` O(1)
+    across columns.  theta is clamped so that both ``theta^m`` (table) and
+    ``theta^-m`` (basis blocks) stay well inside ``dt``'s range."""
+    g = np.maximum(np.abs(Sre), np.abs(Sim)).max(axis=0)[1:]
+    jj = np.arange(1, len(g) + 1, dtype=float)
+    ok = np.isfinite(g) & (g > 0)
+    if ok.sum() < 2:
+        return 1.0
+    slope = np.polyfit(jj[ok], np.log(g[ok]), 1)[0]
+    theta = float(np.exp(-slope))
+    lim = float(jnp.finfo(jnp.dtype(dt)).max) ** (1.0 / max(m, 1)) / 4.0
+    return float(np.clip(theta, 1.0 / lim, lim))
+
+
+def apply_theta(Sre, Sim, theta):
+    """Multiply column j of a table by theta^j (progressive product)."""
+    Sre = np.array(Sre, dtype=np.float64, copy=True)
+    Sim = np.array(Sim, dtype=np.float64, copy=True)
+    acc = 1.0
+    for j in range(1, Sre.shape[1]):
+        acc *= theta
+        Sre[:, j] *= acc
+        Sim[:, j] *= acc
+    return Sre, Sim
+
+
 def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
-                 neigs, tol, resnorm, n=None, check_error_every=None):
+                 neigs, tol, resnorm, n=None, check_error_every=None,
+                 scaled=False, theta=1.0):
     """Shared complex-as-real IAR driver (DEP and SPMF front ends).
 
     ``id_coeff``: coefficient of the virtual ``-coeff * y_1`` identity term
@@ -230,6 +287,7 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
         n = int(lu_piv[0].shape[0]) // 2
     v = np.asarray(v, dtype=complex)
     id_coeff = complex(id_coeff)
+    inv_theta = jnp.asarray(1.0 / float(theta), dt)
     args = (jnp.asarray(Cre, dt), jnp.asarray(Cim, dt),
             jnp.asarray(id_coeff.real, dt),
             jnp.asarray(id_coeff.imag, dt),
@@ -246,7 +304,8 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
         while k_done < m:
             steps = min(chunk, m - k_done)
             carry = _scan_chunk(bank, m, steps, jnp.asarray(k_done + 1),
-                                carry, *args)
+                                carry, *args, scaled=scaled,
+                                inv_theta=inv_theta)
             k_done += steps
             tc = time.perf_counter()
             lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
@@ -258,7 +317,7 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
     else:
         carry = iar_real_scan(bank, m, *args[:4],
                               jnp.asarray(v.real, dt), jnp.asarray(v.imag, dt),
-                              *args[4:])
+                              *args[4:], scaled=scaled, inv_theta=inv_theta)
         k_done = m
         lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
         errs = np.array([resnorm(lams[s], Q[:, s]) for s in range(len(lams))])
@@ -274,7 +333,7 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
 
 def iar_real(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None, v=None,
              dtype=jnp.float32, lu_piv=None, check_error_every=None,
-             errmeasure=None, return_info=False):
+             errmeasure=None, return_info=False, scaled="auto"):
     """Complex-as-real IAR on a DEP (reference ``iar`` contract: returns
     converged ``(lams, Q)``, sorted by residual).
 
@@ -298,8 +357,22 @@ def iar_real(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None, v=None,
         jax.block_until_ready(lu_piv)
     t_fact = time.perf_counter() - t0
 
-    Cre, Cim = dep_coeff_table(nep, sigma, gamma, m)
     from .spmf_real import finite_table_prefix
+
+    # 'auto': the classic (factorial-growth) Taylor space converges best
+    # when its table is representable; fall back to the theta-scaled space
+    # only when the classic table would overflow ``dt`` before ``maxit``
+    # (the f32 gun/WEP regime — VERDICT r2 'f32 degree ceiling').
+    if scaled == "auto":
+        Cre, Cim = dep_coeff_table(nep, sigma, gamma, m, scaled=False)
+        scaled = finite_table_prefix(Cre, Cim, dt) < m
+    else:
+        scaled = bool(scaled)
+    Cre, Cim = dep_coeff_table(nep, sigma, gamma, m, scaled=scaled)
+    theta = 1.0
+    if scaled:
+        theta = auto_theta(Cre, Cim, m, dt)
+        Cre, Cim = apply_theta(Cre, Cim, theta)
 
     m_fin = finite_table_prefix(Cre, Cim, dt)
     if m_fin < m:
@@ -325,9 +398,9 @@ def iar_real(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None, v=None,
             rn = _dep_host_resnorm(nep)
 
     lams, Q, info = run_iar_real(
-        nep.bank, m, Cre, Cim, gamma, v, lu_piv, dt,
+        nep.bank, m, Cre, Cim, gamma * theta, v, lu_piv, dt,
         sigma=sigma, gamma=gamma, neigs=neigs, tol=tol, resnorm=rn, n=n,
-        check_error_every=check_error_every)
+        check_error_every=check_error_every, scaled=scaled, theta=theta)
     info["t_factorize"] = t_fact
     if return_info:
         return lams, Q, info

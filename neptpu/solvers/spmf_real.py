@@ -88,13 +88,22 @@ def _spmf_parts(nep):
     return [nep]
 
 
-def spmf_coeff_table(fv, sigma, gamma, m):
+def spmf_coeff_table(fv, sigma, gamma, m, scaled=False):
     """C[i, j] = gamma^j f_i^{(j)}(sigma), j = 0..m, column 0 zeroed (IAR
     feeds derivatives 1..m).  complex128 on the host; exact for DerivFun
-    terms, CPU-backend bidiagonal trick otherwise.  Returns (Cre, Cim)."""
+    terms, CPU-backend bidiagonal trick otherwise.  ``scaled`` divides
+    column j by j! — the Taylor-normalized table for the ``scaled=True``
+    kernels, whose entries stay O((|gamma|/R)^j) (R = distance from sigma to
+    the nearest singularity of f) instead of growing factorially.  The
+    gamma-power/factorial prefactor is accumulated progressively so neither
+    factor over/underflows on its own before ~order 130 at gun-scale
+    gamma ~ 1e4 (the (m+1)^2 n basis memory caps maxit well before that).
+    Returns (Cre, Cim)."""
     sigma = complex(sigma)
     gamma = complex(gamma)
-    gj = gamma ** np.arange(m + 1)
+    gj = np.ones(m + 1, dtype=complex)
+    for j in range(1, m + 1):
+        gj[j] = gj[j - 1] * (gamma / j if scaled else gamma)
     C = np.zeros((len(fv), m + 1), dtype=complex)
     cpu_rows = []
     for i, f in enumerate(fv):
@@ -202,7 +211,7 @@ def _spmf_host_resnorm(mats, fv):
 def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
                   v=None, dtype=jnp.float32, lu_piv=None, bank=None,
                   check_error_every=None, errmeasure=None,
-                  return_info=False):
+                  return_info=False, scaled="auto"):
     """Complex-as-real IAR on a real-operand SPMF (gun-class problems).
 
     Same contract as :func:`neptpu.solvers.iar_real.iar_real` (including
@@ -226,7 +235,20 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
         jax.block_until_ready(lu_piv)
     t_fact = time.perf_counter() - t0
 
-    Cre, Cim = spmf_coeff_table(fv, sigma, gamma, m)
+    # 'auto': classic Taylor space unless its table overflows ``dt`` before
+    # ``maxit`` — then the theta-scaled space (see iar_real._step_fn)
+    if scaled == "auto":
+        Cre, Cim = spmf_coeff_table(fv, sigma, gamma, m, scaled=False)
+        scaled = finite_table_prefix(Cre, Cim, dt) < m
+    else:
+        scaled = bool(scaled)
+    Cre, Cim = spmf_coeff_table(fv, sigma, gamma, m, scaled=scaled)
+    theta = 1.0
+    if scaled:
+        from .iar_real import apply_theta, auto_theta
+
+        theta = auto_theta(Cre, Cim, m, dt)
+        Cre, Cim = apply_theta(Cre, Cim, theta)
     m_fin = finite_table_prefix(Cre, Cim, dt)
     if m_fin < m:
         import warnings
@@ -243,7 +265,7 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     lams, Q, info = run_iar_real(
         bank, m, Cre, Cim, 0.0, v, lu_piv, dt,  # no virtual -lam*I term
         sigma=sigma, gamma=gamma, neigs=neigs, tol=tol, resnorm=rn, n=n,
-        check_error_every=check_error_every)
+        check_error_every=check_error_every, scaled=scaled, theta=theta)
     info["t_factorize"] = t_fact
     if return_info:
         return lams, Q, info

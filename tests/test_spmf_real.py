@@ -64,14 +64,17 @@ def test_iar_real_spmf_matches_complex_iar():
     nep = _small_gun()
     sigma = 30.0 + 1.0j
     m = 35
-    lam_c, _, _ = iar(nep, sigma=sigma, neigs=4, maxit=m,
+    lam_c, _, _ = iar(nep, sigma=sigma, neigs=8, maxit=m,
                       v=np.ones(nep.n), tol=1e-8)
-    lam_r, Q_r = iar_real_spmf(nep, sigma=sigma, maxit=m, neigs=4,
+    lam_r, Q_r = iar_real_spmf(nep, sigma=sigma, maxit=m, neigs=8,
                                tol=1e-8, dtype=jnp.float64)
     lam_c = np.asarray(lam_c)
     assert len(lam_r) >= 3
-    for la in lam_r[:3]:
-        # two independent formulations; agreement to the Krylov tolerance
+    # the two formulations build different (similarity-scaled) Krylov
+    # spaces, so the converged SETS can differ in the tails — but the pairs
+    # closest to sigma must agree between the formulations
+    near = sorted(lam_r, key=lambda la: abs(la - sigma))[:3]
+    for la in near:
         assert min(abs(la - lam_c)) < 1e-5, (la, lam_c)
     # residuals of the returned pairs
     for s in range(min(3, len(lam_r))):
