@@ -30,12 +30,17 @@ import os
 import time
 
 os.environ.setdefault("NEPTPU_DISABLE_X64", "1")  # f32 on the TPU bench path
-# Persistent XLA compile cache: the big scan/LU kernels dominate wall time on
-# a fresh process; the cache directory survives across bench invocations.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
+# Persistent XLA compile cache: the big scan/factor kernels dominate wall
+# time on a fresh process; the cache directory survives across bench
+# invocations.  NOTE: the harness sitecustomize imports jax at interpreter
+# start, so env vars are too late — set through jax.config.
+import jax  # noqa: E402  (before numpy: config must precede any tracing)
+
+jax.config.update(
+    "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # XLA's blocked-LU panel needs >16 MiB scoped vmem at gun scale (2n = 19912)
 _vmem = "--xla_tpu_scoped_vmem_limit_kib=65536"
 if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
@@ -157,7 +162,7 @@ def bench_gun_time_to_tol(maxit=60, neigs=10, tol=1e-6, chunk=10):
     }
 
 
-def bench_wep_time_to_tol(maxit=60, neigs=10, tol=1e-4, chunk=10):
+def bench_wep_time_to_tol(maxit=80, neigs=10, tol=1e-5, chunk=20):
     """North-star #2b: time-to-tol for k=10 eigenpairs of the JARLEBRING
     waveguide (nx=109, nz=105, n=11655 — the reference's ``wep_small.jl``
     oracle configuration) on the real chip.

@@ -66,6 +66,8 @@ class DiaTermBank:
                 # scipy dia stores data[k, j] = A[j - off, j]; we want
                 # data[d, r] = A[r, r + off] -> shift by off
                 col = D.data[od]
+                if col.shape[0] < n:  # scipy >= 1.17 trims empty tail cols
+                    col = np.pad(col, (0, n - col.shape[0]))
                 if off >= 0:
                     data[i, d, : n - off] = col[off:]
                 else:

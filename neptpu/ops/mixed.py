@@ -162,7 +162,7 @@ class MixedTermBank:
         return obj
 
 
-def make_mixed_bank(mats, dtype=None, max_rank=None):
+def make_mixed_bank(mats, dtype=None, max_rank=None, fmt=None):
     """Partition ``mats`` (real or complex scipy/dense) into real main-bank
     terms and stacked low-rank terms by nonzero support.
 
@@ -224,7 +224,23 @@ def make_mixed_bank(mats, dtype=None, max_rank=None):
             Ur_.append(U)
             tidx_r.extend([i] * L.shape[1])
         else:
-            main_idx.append(i)  # keep zero/real-bulk terms in the main bank
+            # bulk term: arrow-split so the main bank stays genuinely banded
+            # (streamable DIA on chip, halo-shardable on a mesh) — the WEP's
+            # [[Q, E], [F, P]] terms carry their border rows/cols as exact
+            # low-rank factors instead of widening the band to the matrix
+            from .partitioned import arrow_split
+
+            seq[i] = Are  # real, explicit zeros eliminated (DIA detection
+            # sees true offsets, not the complex pattern's stored zeros)
+            split = arrow_split(Are, max_rank) if Are.nnz else None
+            if split is not None and split[1]:
+                band, factors = split
+                seq[i] = band  # main-bank part (same original term index)
+                for L, U in factors:
+                    Lr_.append(L.real)
+                    Ur_.append(U.real)
+                    tidx_r.extend([i] * L.shape[1])
+            main_idx.append(i)  # zero/real-band part rides the main bank
 
     if not main_idx:  # the inner bank needs at least one term
         i = tidx_r[0] if tidx_r else 0
@@ -252,6 +268,24 @@ def make_mixed_bank(mats, dtype=None, max_rank=None):
     inner = make_term_bank(
         [seq[i].real if np.iscomplexobj(seq[i].data) else seq[i]
          for i in main_idx],
-        dtype=rdt)
+        dtype=rdt, fmt=fmt)
+    # Frobenius norms on the HOST from the scipy/numpy factors: fetching the
+    # freshly-built device arrays back (as the ctor's fallback would) costs
+    # ~50 s per array over a tunneled TPU runtime.
+    fro = np.zeros(len(seq))
+    inner_fro = np.asarray(inner.fro_norms)
+    for j, i in enumerate(main_idx):
+        fro[i] = inner_fro[j]
+    fro2 = fro**2
+    for parts_L, parts_U, tidx in ((Lr_, Ur_, tidx_r), (Li_, Ui_, tidx_i)):
+        if not parts_L:
+            continue
+        Lh, Uh = np.hstack(parts_L), np.hstack(parts_U)
+        for i in set(tidx):
+            sel = [r for r, t in enumerate(tidx) if t == i]
+            # ||L U^T||_F^2 = trace((U^T U)(L^T L)) without the n x n product
+            G = (Uh[:, sel].T @ Uh[:, sel]) * (Lh[:, sel].T @ Lh[:, sel]).T
+            fro2[i] += float(G.sum())
     return MixedTermBank(inner, cat(Lr_), cat(Ur_), cat(Li_), cat(Ui_),
-                         main_idx, tidx_r, tidx_i, (n, n), len(seq))
+                         main_idx, tidx_r, tidx_i, (n, n), len(seq),
+                         fro_norms=jnp.asarray(np.sqrt(fro2)))

@@ -1,0 +1,506 @@
+"""Partitioned banded LU + low-rank SMW — the structure-exploiting shifted
+solve for the gun/WEP problem class on a single chip.
+
+The complex shifted matrix of a mixed SPMF is
+
+    M(sigma) = B(sigma) + sum_lr f_i(sigma) L_i U_i^T
+
+with ``B`` banded (the FD/FEM bulk terms) and a low-rank boundary part.  The
+round-2 path densified the real 2n x 2n block form and LU-factored it: a
+(2n)^2 dense factorization (O(n^3), ~74 s at gun scale on chip) followed by
+per-step triangular solves that XLA maps poorly onto the MXU.
+
+This module keeps the structure instead:
+
+* the banded bulk rides in the ROW-INTERLEAVED real encoding
+  (``parallel/spike.py:interleave_complex_banded``): complex entry z ->
+  2x2 block [[Re,-Im],[Im,Re]] at interleaved rows/cols, which PRESERVES
+  bandedness (the [[Re,-Im],[Im,Re]] 2n x 2n block layout does not);
+* the banded solve is the SPIKE domain decomposition [Polizzi & Sameh]
+  vmap-batched over ``p`` partitions ON ONE DEVICE: p dense LUs of
+  (blk, blk) diagonal blocks + two (blk, b) spikes each + one (2 b p)^2
+  replicated reduced system — O(n blk^2) flops instead of O(n^2 blk);
+* the low-rank part folds in by Sherman-Morrison-Woodbury: with
+  ``X = B^-1 Ltil`` precomputed once, each solve costs one banded solve +
+  three tall-skinny GEMMs — exactly the MXU's shape;
+* on TPU the per-partition factors are EXPLICIT INVERSES (one-time vmapped
+  ``inv``), so the per-step solve is pure batched GEMM (MXU) with no
+  triangular solves anywhere in the hot path.  ``mode='lu'`` keeps
+  pivoted-LU solves for f64 reference runs.
+
+Reference roles covered: the cached UMFPACK factorization
+(``LinSolvers.jl:109-137``) and the WEP's Schur-complement/SMW trick
+(``waveguide_preconditioner.jl:10-120``), recast as one generic TPU kernel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "csr_to_strips",
+    "complex_lowrank_to_interleaved",
+    "interleave_pair",
+    "deinterleave_pair",
+    "PartitionedBandedSolver",
+    "InterleavedSMW",
+    "build_spmf_shift_solver",
+]
+
+
+def csr_to_strips(A):
+    """scipy sparse -> (strips, offsets): strip[j, r] = A[r, r + offsets[j]]
+    over the diagonals that carry nonzeros."""
+    coo = A.tocoo()
+    n = A.shape[0]
+    d = coo.col - coo.row
+    offs = np.unique(d)
+    strips = np.zeros((len(offs), n), dtype=coo.data.dtype)
+    np.add.at(strips, (np.searchsorted(offs, d), coo.row), coo.data)
+    return strips, [int(o) for o in offs]
+
+
+def interleave_pair(zre, zim):
+    """(re, im) channel pair (n, ...) -> interleaved (2n, ...)."""
+    return jnp.stack([zre, zim], axis=1).reshape((-1,) + zre.shape[1:])
+
+
+def deinterleave_pair(x):
+    """Interleaved (2n, ...) -> (re, im) pair of (n, ...)."""
+    x2 = x.reshape((-1, 2) + x.shape[1:])
+    return x2[:, 0], x2[:, 1]
+
+
+def complex_lowrank_to_interleaved(Lc, Uc):
+    """Complex rank-R factors (n, R) x2 with A = Lc Uc^T -> real factors
+    (2n, 2R) x2 in the row-interleaved encoding: Atil = Ltil Util^T equals
+    P [[Re A, -Im A], [Im A, Re A]] P^T (P = interleaving permutation)."""
+    Lc = np.asarray(Lc)
+    Uc = np.asarray(Uc)
+    n, R = Lc.shape
+    Ltil = np.zeros((2 * n, 2 * R), dtype=Lc.real.dtype)
+    Util = np.zeros((2 * n, 2 * R), dtype=Uc.real.dtype)
+    Ltil[0::2, :R] = Lc.real
+    Ltil[0::2, R:] = -Lc.imag
+    Ltil[1::2, :R] = Lc.imag
+    Ltil[1::2, R:] = Lc.real
+    Util[0::2, :R] = Uc.real
+    Util[0::2, R:] = Uc.imag
+    Util[1::2, :R] = -Uc.imag
+    Util[1::2, R:] = Uc.real
+    return Ltil, Util
+
+
+@partial(jax.jit, static_argnames=("offsets", "p", "blk", "b", "mode"))
+def _factor_partitioned(strips, offsets, p, blk, b, mode):
+    """strips (ndiag, p*blk) -> per-partition factors + replicated reduced
+    inverse.  All partitions factored in one vmap batch."""
+    dt = strips.dtype
+    s = strips.reshape(len(offsets), p, blk).transpose(1, 0, 2)  # (p,nd,blk)
+
+    rows_all = jnp.arange(blk)
+
+    def build_blocks(sd, d):
+        D = jnp.zeros((blk, blk), dtype=dt)
+        B = jnp.zeros((blk, b), dtype=dt)  # coupling to next partition
+        C = jnp.zeros((blk, b), dtype=dt)  # coupling to previous partition
+        for j, off in enumerate(offsets):
+            if off >= 0:
+                D = D + jnp.diag(sd[j, : blk - off], k=off)
+                if off > 0:
+                    rows = rows_all[blk - off:]
+                    B = B.at[rows, rows + off - blk].set(sd[j, blk - off:])
+            else:
+                D = D + jnp.diag(sd[j, -off:], k=off)
+                rows = rows_all[: -off]
+                C = C.at[rows, rows + off + b].set(sd[j, : -off])
+        B = jnp.where(d == p - 1, jnp.zeros_like(B), B)
+        C = jnp.where(d == 0, jnp.zeros_like(C), C)
+        return D, B, C
+
+    D, B, C = jax.vmap(build_blocks)(s, jnp.arange(p))
+    if mode == "inv":
+        Dinv = jnp.linalg.inv(D)  # batched; the hot-path solve is pure GEMM
+        fac = Dinv
+        VW = Dinv @ jnp.concatenate([B, C], axis=2)
+        piv = jnp.zeros((p, blk), dtype=jnp.int32)
+    else:
+        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(D)
+        fac = lu
+        VW = jax.vmap(lambda l, pv, bc: jax.scipy.linalg.lu_solve((l, pv), bc)
+                      )(lu, piv, jnp.concatenate([B, C], axis=2))
+    V, W = VW[:, :, :b], VW[:, :, b:]  # spikes (p, blk, b)
+
+    # replicated reduced system over the spike boundary rows (2 b p)
+    m = 2 * b * p
+    R = jnp.eye(m, dtype=dt)
+    for d in range(p):
+        t = 2 * b * d
+        if d > 0:
+            R = R.at[t:t + b, t - b:t].add(W[d, :b])
+            R = R.at[t + b:t + 2 * b, t - b:t].add(W[d, -b:])
+        if d < p - 1:
+            R = R.at[t:t + b, t + 2 * b:t + 3 * b].add(V[d, :b])
+            R = R.at[t + b:t + 2 * b, t + 2 * b:t + 3 * b].add(V[d, -b:])
+    if mode == "inv":
+        r_fac = jnp.linalg.inv(R)
+        r_piv = jnp.zeros((m,), dtype=jnp.int32)
+    else:
+        r_fac, r_piv = jax.scipy.linalg.lu_factor(R)
+    return fac, piv, V, W, r_fac, r_piv
+
+
+@jax.tree_util.register_pytree_node_class
+class PartitionedBandedSolver:
+    """SPIKE-partitioned banded direct solver on ONE device (vmap over
+    partitions).  Factor once, solve many; a pytree so it can ride through
+    ``jit``/``lax.scan`` as an operand.
+
+    ``mode='inv'`` (TPU default): per-partition explicit inverses — the
+    solve is batched GEMM only.  ``mode='lu'``: pivoted LU + triangular
+    solves (f64 reference accuracy).
+    """
+
+    def __init__(self, strips, offsets, p=16, dtype=None, mode="inv",
+                 _leaves=None, _aux=None):
+        if _leaves is not None:
+            (self.fac, self.piv, self.V, self.W, self.r_fac,
+             self.r_piv, self.strips) = _leaves
+            (self.offsets, self.p, self.blk, self.b, self.n,
+             self.mode) = _aux
+            return
+        strips = np.asarray(strips)
+        if dtype is not None:
+            strips = strips.astype(dtype)
+        n = strips.shape[1]
+        offsets = tuple(int(o) for o in offsets)
+        b = max((abs(o) for o in offsets), default=1)
+        b = max(b, 1)
+        p = int(p)
+        blk = -(-n // p)
+        while blk < b:  # shrink partition count until blocks cover the band
+            p = max(p // 2, 1)
+            blk = -(-n // p)
+        if 0 not in offsets:
+            raise ValueError("banded solver requires a main diagonal")
+        pad = np.zeros((strips.shape[0], p * blk), dtype=strips.dtype)
+        pad[:, :n] = strips
+        pad[offsets.index(0), n:] = 1.0  # identity tail keeps blocks regular
+        self.offsets, self.p, self.blk, self.b, self.n = offsets, p, blk, b, n
+        self.mode = mode
+        self.strips = jnp.asarray(pad)  # kept for residual refinement
+        (self.fac, self.piv, self.V, self.W, self.r_fac,
+         self.r_piv) = _factor_partitioned(self.strips, offsets, p, blk,
+                                           b, mode)
+
+    # -- pytree ---------------------------------------------------------
+    def tree_flatten(self):
+        return ((self.fac, self.piv, self.V, self.W, self.r_fac,
+                 self.r_piv, self.strips),
+                (self.offsets, self.p, self.blk, self.b, self.n, self.mode))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(None, None, _leaves=leaves, _aux=aux)
+
+    # -- banded matvec (for residual refinement) -------------------------
+    def matvec(self, x):
+        """y = B x from the diagonal strips; x (n[, k])."""
+        n = self.n
+        one_d = x.ndim == 1
+        xp = jnp.zeros((self.p * self.blk,) + x.shape[1:], dtype=x.dtype
+                       ).at[:n].set(x)
+        y = jnp.zeros_like(xp)
+        for j, off in enumerate(self.offsets):
+            s = self.strips[j]
+            s = s if one_d else s[:, None]
+            if off == 0:
+                y = y + s * xp
+            elif off > 0:
+                y = y.at[:-off].add(s[:-off] * xp[off:])
+            else:
+                y = y.at[-off:].add(s[-off:] * xp[:off])
+        return y[:n]
+
+    # -- solve ----------------------------------------------------------
+    def _local(self, f):
+        """Batched per-partition solve, f (p, blk, k)."""
+        if self.mode == "inv":
+            return self.fac @ f
+        return jax.vmap(lambda l, pv, x: jax.scipy.linalg.lu_solve((l, pv), x)
+                        )(self.fac, self.piv, f)
+
+    def _reduced(self, rhs):
+        if self.mode == "inv":
+            return self.r_fac @ rhs
+        return jax.scipy.linalg.lu_solve((self.r_fac, self.r_piv), rhs)
+
+    def solve(self, f):
+        """f: (n,) or (n, k) device array -> solution of the banded system."""
+        p, blk, b, n = self.p, self.blk, self.b, self.n
+        one_d = f.ndim == 1
+        if one_d:
+            f = f[:, None]
+        k = f.shape[1]
+        fp = jnp.zeros((p * blk, k), dtype=f.dtype).at[:n].set(f)
+        g = self._local(fp.reshape(p, blk, k))
+        # reduced RHS: top/bottom b rows of every partition, interleaved
+        rhs = jnp.concatenate([g[:, :b], g[:, -b:]], axis=1)  # (p, 2b, k)
+        u = self._reduced(rhs.reshape(p * 2 * b, k)).reshape(p, 2 * b, k)
+        # corrections: x_d = g_d - W_d @ xb_{d-1} - V_d @ xt_{d+1}
+        xb_prev = jnp.concatenate(
+            [jnp.zeros((1, b, k), dtype=f.dtype), u[:-1, b:]], axis=0)
+        xt_next = jnp.concatenate(
+            [u[1:, :b], jnp.zeros((1, b, k), dtype=f.dtype)], axis=0)
+        x = g - self.W @ xb_prev - self.V @ xt_next
+        x = x.reshape(p * blk, k)[:n]
+        return x[:, 0] if one_d else x
+
+
+@jax.tree_util.register_pytree_node_class
+class InterleavedSMW:
+    """Shifted-solve operand for the complex-as-real kernels: banded bulk via
+    :class:`PartitionedBandedSolver` (row-interleaved real encoding) plus a
+    Sherman-Morrison-Woodbury low-rank correction.
+
+        M x = f  with  M = B + Ltil Util^T
+        x = B^-1 f - X K^-1 (Util^T B^-1 f),   X = B^-1 Ltil,
+        K = I + Util^T X   (factored once, 2R x 2R).
+
+    Exposes ``solve_pair(zre, zim) -> (xre, xim)`` — the contract the IAR
+    scan kernels use (``solvers/iar_real._step_fn``).
+    """
+
+    def __init__(self, base, Ltil=None, Util=None, refine=None, _leaves=None,
+                 _aux=None):
+        if _leaves is not None:
+            (self.base, self.X, self.Util, self.Ltil, self.K_fac,
+             self.K_piv) = _leaves
+            self.mode, self.refine = _aux
+            return
+        self.base = base
+        self.mode = base.mode
+        # explicit-inverse mode trades ~3 digits of solve accuracy for the
+        # pure-GEMM hot path; residual-refinement steps win them back for
+        # the cost of a banded matvec + another solve each (two steps reach
+        # the f32 backward-error floor on the wep_large config)
+        self.refine = int(refine) if refine is not None else (
+            2 if self.mode == "inv" else 0)
+        if Ltil is None:
+            self.X = self.Util = self.Ltil = self.K_fac = self.K_piv = None
+            return
+        Ltil = jnp.asarray(Ltil)
+        Util = jnp.asarray(Util)
+        X = base.solve(Ltil)
+        K = jnp.eye(Util.shape[1], dtype=X.dtype) + Util.T @ X
+        if self.mode == "inv":
+            K_fac, K_piv = jnp.linalg.inv(K), jnp.zeros(
+                (K.shape[0],), dtype=jnp.int32)
+        else:
+            K_fac, K_piv = jax.scipy.linalg.lu_factor(K)
+        self.X, self.Util, self.Ltil = X, Util, Ltil
+        self.K_fac, self.K_piv = K_fac, K_piv
+
+    def tree_flatten(self):
+        return ((self.base, self.X, self.Util, self.Ltil, self.K_fac,
+                 self.K_piv),
+                (self.mode, self.refine))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(None, _leaves=leaves, _aux=aux)
+
+    @property
+    def n(self):
+        return self.base.n // 2  # complex length
+
+    def matvec(self, x):
+        """y = M x = B x + Ltil (Util^T x)."""
+        y = self.base.matvec(x)
+        if self.X is not None:
+            y = y + self.Ltil @ (self.Util.T @ x)
+        return y
+
+    def _solve_once(self, f):
+        g = self.base.solve(f)
+        if self.X is None:
+            return g
+        t = self.Util.T @ g
+        if self.mode == "inv":
+            u = self.K_fac @ t
+        else:
+            u = jax.scipy.linalg.lu_solve((self.K_fac, self.K_piv), t)
+        return g - self.X @ u
+
+    def solve(self, f):
+        x = self._solve_once(f)
+        for _ in range(self.refine):
+            x = x + self._solve_once(f - self.matvec(x))
+        return x
+
+    def solve_pair(self, zre, zim):
+        x = self.solve(interleave_pair(zre, zim))
+        return deinterleave_pair(x)
+
+
+def assemble_shift_parts(mats, fv, sigma, max_rank=None):
+    """Host-side banded + low-rank decomposition of ``M(sigma)``.
+
+    Splits terms by the bounding-box criterion (low-rank when the nonzero
+    support is small), sums the remaining bulk at ``sigma`` in complex128,
+    and arrow-splits the sum (band + exact border factors).  Returns
+    ``(strips, offsets, Lc, Uc)`` with ``M(sigma) == band + Lc Uc^T``
+    (``Lc``/``Uc`` possibly ``None``), or ``None`` when the bulk is neither
+    banded nor an arrow.  Shared by the single-chip
+    :func:`build_spmf_shift_solver` and the distributed SPIKE+SMW path
+    (``parallel/mixed_sharded.py``)."""
+    import scipy.sparse as sp
+
+    from ..models.lowrank import low_rank_factors
+    from ..solvers.spmf_real import spmf_fun_scalars
+
+    seq = [sp.csr_matrix(A) if not sp.issparse(A) else A.tocsr()
+           for A in mats]
+    n = seq[0].shape[0]
+    if max_rank is None:
+        max_rank = max(32, n // 64)
+    w = spmf_fun_scalars(fv, sigma)
+
+    def support(A):
+        coo = A.tocoo()
+        if coo.nnz == 0:
+            return 0
+        return min(len(np.unique(coo.row)), len(np.unique(coo.col)))
+
+    Bulk = None
+    Ls, Us = [], []
+    for wi, A in zip(w, seq):
+        if A.nnz and support(A) <= max_rank:
+            L, U = low_rank_factors(A)  # A = L @ U^H
+            Ls.append(wi * np.asarray(L).astype(complex))
+            Us.append(np.conj(np.asarray(U)).astype(complex))  # A = L Uc^T
+        else:
+            T = A.astype(complex) * wi
+            Bulk = T if Bulk is None else Bulk + T
+    if Bulk is None:
+        return None
+    split = band_border_split(Bulk.tocsr(), max_rank=max_rank)
+    if split is None:
+        return None
+    strips, offs, bLs, bUs = split
+    Ls.extend(bLs)
+    Us.extend(bUs)
+    Lc = np.hstack(Ls) if Ls else None
+    Uc = np.hstack(Us) if Us else None
+    return strips, offs, Lc, Uc
+
+
+def build_spmf_shift_solver(mats, fv, sigma, dtype=jnp.float32, p=16,
+                            mode=None, max_rank=None):
+    """Assemble the InterleavedSMW solver for M(sigma) of a mixed SPMF
+    (see :func:`assemble_shift_parts`); interleaves and SPIKE-factors on
+    device.  Returns ``None`` when the bulk is not usefully banded (callers
+    fall back to the dense block LU)."""
+    parts = assemble_shift_parts(mats, fv, sigma, max_rank=max_rank)
+    if parts is None:
+        return None
+    strips, offs, Lc, Uc = parts
+    rdt = np.dtype(dtype)
+    if np.issubdtype(rdt, np.complexfloating):
+        rdt = np.float64 if rdt == np.complex128 else np.float32
+    from ..parallel.spike import interleave_complex_banded
+
+    rstrips, roffs = interleave_complex_banded(strips, offs)
+    if mode is None:
+        mode = "lu" if rdt == np.float64 else "inv"
+    base = PartitionedBandedSolver(rstrips.astype(rdt), roffs, p=p, mode=mode)
+    if Lc is not None:
+        Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
+        return InterleavedSMW(base, Ltil.astype(rdt), Util.astype(rdt))
+    return InterleavedSMW(base)
+
+
+def arrow_split(A, max_rank):
+    """Split a sparse matrix into ``band + exact low-rank border``.
+
+    Returns ``(band_csr, [(Lc, Uc), ...])`` with ``A == band_csr + sum
+    Lc Uc^T``, or ``None`` when no such split is economical.  Handles two
+    shapes:
+
+    * genuinely banded (gun bulk): all nonzeros within a small bandwidth —
+      empty border list;
+    * ARROW/bordered-banded (the WEP's ``[[Q, E], [F, P]]`` Schur form,
+      reference ``waveguide/Waveguide.jl:324-379``): banded except the last
+      ``m`` rows/columns.  The border columns/rows become exact rank-m
+      factors (dense column block x 0/1 selector), no SVD involved.
+
+    The bandwidth ``b`` is chosen over the distinct offset magnitudes to
+    minimize band-storage + border-rank cost; entries outside the band must
+    live in the trailing ``m <= 2 max_rank`` rows/cols (else ``None``).
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    coo = A.tocoo()
+    d = coo.col - coo.row
+    absd = np.abs(d)
+    cand = np.unique(absd)
+    best = None  # (b, m, cost)
+    for b in cand:
+        wide = absd > b
+        if not wide.any():
+            m = 0
+        else:
+            m = int(n - np.minimum.reduce(
+                np.maximum(coo.row[wide], coo.col[wide])))
+            if m > 2 * max_rank:
+                continue
+        cost = (2 * int(b) + 1) + 4 * m  # strips + border columns, per row
+        if best is None or cost < best[2]:
+            best = (int(b), m, cost)
+        if m == 0:
+            break  # larger b only adds band cost
+    if best is None:
+        return None
+    b, m, _ = best
+    if m == 0:
+        return A, []
+    inband = absd <= b
+    band = sp.coo_matrix(
+        (coo.data[inband], (coo.row[inband], coo.col[inband])),
+        shape=A.shape).tocsr()
+    rest = sp.coo_matrix(
+        (coo.data[~inband], (coo.row[~inband], coo.col[~inband])),
+        shape=A.shape).tocsr()
+    # border columns: all wide entries with col >= n-m -> X1 @ sel^T
+    sel = np.zeros((n, m), dtype=coo.data.dtype)
+    sel[n - m:, :] = np.eye(m)
+    X1 = np.asarray(rest[:, n - m:].todense())
+    # remaining wide entries (col < n-m, row >= n-m) -> sel @ Y2^T
+    rest2 = rest[:, : n - m].tocoo()
+    if (rest2.row < n - m).any():
+        return None  # not an arrow: wide entries outside the border
+    Y2 = np.zeros((n, m), dtype=coo.data.dtype)
+    Y2[rest2.col, rest2.row - (n - m)] = rest2.data
+    factors = []
+    if np.any(X1):
+        factors.append((X1, sel))
+    if np.any(Y2):
+        factors.append((sel, Y2))
+    return band, factors
+
+
+def band_border_split(A, max_rank):
+    """:func:`arrow_split` in strip form: ``(strips, offsets, [Lc...],
+    [Uc...])`` or ``None``."""
+    split = arrow_split(A, max_rank)
+    if split is None:
+        return None
+    band, factors = split
+    strips, offs = csr_to_strips(band)
+    return (strips, offs, [f[0].astype(complex) for f in factors],
+            [f[1].astype(complex) for f in factors])

@@ -97,7 +97,45 @@ def dep_shift_block_lu(nep, sigma, dtype=jnp.float32):
         2 * n)
 
 
-def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=False,
+@jax.tree_util.register_pytree_node_class
+class DenseBlockLU:
+    """Pytree wrapper of the dense real 2n x 2n block LU exposing the
+    ``solve_pair`` contract the scan kernels use (block ordering
+    ``[re; im]``); see also :class:`neptpu.ops.partitioned.InterleavedSMW`
+    for the structure-exploiting alternative."""
+
+    def __init__(self, lu, piv):
+        self.lu, self.piv = lu, piv
+
+    @property
+    def n(self):
+        return self.lu.shape[0] // 2
+
+    def astype(self, dt):
+        return DenseBlockLU(self.lu.astype(dt), self.piv)
+
+    def solve_pair(self, zre, zim):
+        n = zre.shape[0]
+        sol = jax.scipy.linalg.lu_solve(
+            (self.lu, self.piv), jnp.concatenate([zre, zim]))
+        return sol[:n], sol[n:]
+
+    def tree_flatten(self):
+        return ((self.lu, self.piv), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def as_pair_solver(lu_piv):
+    """(lu, piv) tuple -> DenseBlockLU; solver objects pass through."""
+    if hasattr(lu_piv, "solve_pair"):
+        return lu_piv
+    return DenseBlockLU(*lu_piv)
+
+
+def _step_fn(bank, m, Cre, Cim, gre, gim, solver, dt, scaled=False,
              inv_theta=1.0):
     """One complex-as-real IAR step (shared by the full-run and chunked
     scans); ``k`` is the 1-based dynamic step index.
@@ -116,7 +154,6 @@ def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=False,
     basis blocks stop under/overflowing, so the Krylov degree is no longer
     capped by the dtype (VERDICT r2 'f32 degree ceiling')."""
     jblk = jnp.arange(m + 1)
-    n = lu.shape[0] // 2
 
     def step(carry, k):
         Vre, Vim, Hre, Him = carry
@@ -138,9 +175,9 @@ def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=False,
         zre = zre - gre * ytre[1] + gim * ytim[1]
         zim = zim - gre * ytim[1] - gim * ytre[1]
 
-        sol = jax.scipy.linalg.lu_solve((lu, piv), jnp.concatenate([zre, zim]))
-        yre = ytre.at[0].set(-sol[:n])
-        yim = ytim.at[0].set(-sol[n:])
+        xre, xim = solver.solve_pair(zre, zim)
+        yre = ytre.at[0].set(-xre)
+        yim = ytim.at[0].set(-xim)
 
         # DGKS (two-pass CGS) in paired-real arithmetic
         wre, wim = yre.reshape(-1), yim.reshape(-1)
@@ -160,8 +197,8 @@ def _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=False,
         beta = jnp.sqrt(jnp.sum(wre**2) + jnp.sum(wim**2))
         wre, wim = wre / beta, wim / beta
 
-        Vre = Vre.at[k].set(wre.reshape(m + 1, n))
-        Vim = Vim.at[k].set(wim.reshape(m + 1, n))
+        Vre = Vre.at[k].set(wre.reshape(m + 1, -1))
+        Vim = Vim.at[k].set(wim.reshape(m + 1, -1))
         Hre = Hre.at[:, k - 1].set(jnp.where(jblk == k, beta, hre))
         Him = Him.at[:, k - 1].set(jnp.where(jblk == k, 0.0, him))
         return (Vre, Vim, Hre, Him), beta
@@ -179,17 +216,17 @@ def _init_carry(m, v0re, v0im, dt):
 
 
 @partial(jax.jit, static_argnames=("m", "nsteps", "scaled"))
-def _scan_chunk(bank, m, nsteps, k0, carry, Cre, Cim, gre, gim, lu, piv,
+def _scan_chunk(bank, m, nsteps, k0, carry, Cre, Cim, gre, gim, solver,
                 scaled=False, inv_theta=1.0):
     """Advance ``nsteps`` IAR steps starting at (1-based) step ``k0``."""
     dt = carry[0].dtype
-    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=scaled,
+    step = _step_fn(bank, m, Cre, Cim, gre, gim, solver, dt, scaled=scaled,
                     inv_theta=inv_theta)
     return jax.lax.scan(step, carry, k0 + jnp.arange(nsteps))[0]
 
 
 @partial(jax.jit, static_argnames=("m", "scaled"))
-def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv,
+def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv=None,
                   scaled=False, inv_theta=1.0):
     """Run m complex-as-real IAR steps.
 
@@ -200,7 +237,8 @@ def iar_real_scan(bank, m, Cre, Cim, gre, gim, v0re, v0im, lu, piv,
     """
     dt = jnp.result_type(v0re.dtype, Cre.dtype)
     carry = _init_carry(m, v0re.astype(dt), v0im.astype(dt), dt)
-    step = _step_fn(bank, m, Cre, Cim, gre, gim, lu, piv, dt, scaled=scaled,
+    solver = lu if piv is None else DenseBlockLU(lu, piv)
+    step = _step_fn(bank, m, Cre, Cim, gre, gim, solver, dt, scaled=scaled,
                     inv_theta=inv_theta)
     return jax.lax.scan(step, carry, jnp.arange(1, m + 1))[0]
 
@@ -283,15 +321,18 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
     time-to-tolerance pays only for the steps it needs.  Returns
     ``(lams, Q, info)`` over the converged pairs, residual-sorted.
     """
+    solver = as_pair_solver(lu_piv)
+    if hasattr(solver, "astype"):
+        solver = solver.astype(dt)
     if n is None:
-        n = int(lu_piv[0].shape[0]) // 2
+        n = int(solver.n)
     v = np.asarray(v, dtype=complex)
     id_coeff = complex(id_coeff)
     inv_theta = jnp.asarray(1.0 / float(theta), dt)
     args = (jnp.asarray(Cre, dt), jnp.asarray(Cim, dt),
             jnp.asarray(id_coeff.real, dt),
             jnp.asarray(id_coeff.imag, dt),
-            lu_piv[0].astype(dt), lu_piv[1])
+            solver)
 
     t0 = time.perf_counter()
     t_check = 0.0

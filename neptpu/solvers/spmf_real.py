@@ -231,8 +231,15 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
 
     t0 = time.perf_counter()
     if lu_piv is None:
-        lu_piv = spmf_shift_block_lu(mats, fv, sigma, dtype=dt)
-        jax.block_until_ready(lu_piv)
+        # structure-exploiting shifted solve first: partitioned banded
+        # (SPIKE, batched GEMM hot path) + SMW low-rank correction —
+        # O(n blk^2) factor instead of the dense (2n)^3 block LU
+        from ..ops.partitioned import build_spmf_shift_solver
+
+        lu_piv = build_spmf_shift_solver(mats, fv, sigma, dtype=dt)
+        if lu_piv is None:  # bulk neither banded nor arrow: dense block LU
+            lu_piv = spmf_shift_block_lu(mats, fv, sigma, dtype=dt)
+        jax.block_until_ready(jax.tree_util.tree_leaves(lu_piv))
     t_fact = time.perf_counter() - t0
 
     # 'auto': classic Taylor space unless its table overflows ``dt`` before
