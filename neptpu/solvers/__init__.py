@@ -25,6 +25,7 @@ from .ilan import ilan
 from .iar_chebyshev import iar_chebyshev
 from .iar_jit import iar_jitted, iar_scan_kernel
 from .iar_real import iar_real, iar_real_scan, dep_shift_block_lu
+from .spmf_real import iar_real_spmf, iar_real_spmf_deflated
 from .aaa import AAAeigs, svAAA, get_prz
 from .blocknewton import blocknewton
 from .nlar import nlar, default_eigval_sorter, residual_eigval_sorter, threshold_eigval_sorter
@@ -44,6 +45,8 @@ from .inner import (
 __all__ = [
     "iar_real",
     "iar_real_scan",
+    "iar_real_spmf",
+    "iar_real_spmf_deflated",
     "dep_shift_block_lu",
     "iar_jitted",
     "iar_scan_kernel",

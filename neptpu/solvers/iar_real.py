@@ -135,8 +135,66 @@ def as_pair_solver(lu_piv):
     return DenseBlockLU(*lu_piv)
 
 
+@jax.tree_util.register_pytree_node_class
+class DeflationOps:
+    """Compiled-kernel operands of an Effenberger invariant pair (X, S)
+    (reference ``nep_deflation.jl``; Effenberger 2013) for the
+    theta-scaled complex-as-real IAR.
+
+    The extended problem Mtil(lam)[v; w] = [M v + M X (lam I - S)^{-1} w;
+    X^H v] enters the scan through three precomputed pieces (all split
+    re/im, complex128 on the host):
+
+    * ``T``: block-Toeplitz ((m+1)p, (m+1)p) mapping the stacked w-blocks
+      to t_l = sum_k (-gamma theta)^k R^{k+1} w_{l+k}, R = (sigma I - S)^-1
+      — then the top Mlincomb is the ORDINARY bank contraction on
+      v'_l = v_l + X t_l (derivatives of M X R fold into the same table);
+    * ``X``: the invariant-pair basis (n, p), orthonormal;
+    * ``P0 = (X^H X)^{-1} X^H`` and ``G0 = (sigma I - S) P0``: the bordered
+      solve reduces to  g = M(sigma)^{-1} z,  v0 = g - X (P0 g),
+      w0 = G0 g  (no extra factorization — converged pairs never
+      reconverge at the cost of O(np) GEMMs per step).
+    """
+
+    def __init__(self, Tre, Tim, Xre, Xim, Pre, Pim, Gre, Gim, p):
+        self.Tre, self.Tim = Tre, Tim
+        self.Xre, self.Xim = Xre, Xim
+        self.Pre, self.Pim = Pre, Pim
+        self.Gre, self.Gim = Gre, Gim
+        self.p = int(p)
+
+    def tree_flatten(self):
+        return ((self.Tre, self.Tim, self.Xre, self.Xim, self.Pre, self.Pim,
+                 self.Gre, self.Gim), (self.p,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0])
+
+    @classmethod
+    def build(cls, X, S, sigma, gamma_theta, m, dt):
+        """Host-side assembly from the complex invariant pair."""
+        X = np.asarray(X, dtype=complex)
+        S = np.asarray(S, dtype=complex)
+        p = X.shape[1]
+        A = complex(sigma) * np.eye(p) - S
+        R = np.linalg.inv(A)
+        # P[k] = (-gamma theta)^k R^{k+1}
+        T = np.zeros(((m + 1) * p, (m + 1) * p), dtype=complex)
+        Pk = R.copy()
+        for k in range(m + 1):
+            for l in range(m + 1 - k):
+                T[l * p:(l + 1) * p, (l + k) * p:(l + k + 1) * p] = Pk
+            Pk = (-complex(gamma_theta)) * (R @ Pk)
+        P0 = np.linalg.solve(X.conj().T @ X, X.conj().T)
+        G0 = A @ P0
+        as_ = lambda a: jnp.asarray(a, dt)  # noqa: E731
+        return cls(as_(T.real), as_(T.imag), as_(X.real), as_(X.imag),
+                   as_(P0.real), as_(P0.imag), as_(G0.real), as_(G0.imag), p)
+
+
 def _step_fn(bank, m, Cre, Cim, gre, gim, solver, dt, scaled=False,
-             inv_theta=1.0):
+             inv_theta=1.0, defl=None):
     """One complex-as-real IAR step (shared by the full-run and chunked
     scans); ``k`` is the 1-based dynamic step index.
 
@@ -162,20 +220,42 @@ def _step_fn(bank, m, Cre, Cim, gre, gim, solver, dt, scaled=False,
         ytre = jnp.roll(Vre[k - 1] * scale[:, None], 1, axis=0)  # (m+1, n)
         ytim = jnp.roll(Vim[k - 1] * scale[:, None], 1, axis=0)
 
+        if defl is not None:
+            # Effenberger extension: fold the invariant-pair coupling into
+            # the SAME bank contraction via v'_l = v_l + X t_l (DeflationOps)
+            p = defl.p
+            wre_f = ytre[:, -p:].reshape(-1)
+            wim_f = ytim[:, -p:].reshape(-1)
+            tre = (defl.Tre @ wre_f - defl.Tim @ wim_f).reshape(m + 1, p)
+            tim = (defl.Tre @ wim_f + defl.Tim @ wre_f).reshape(m + 1, p)
+            vpre = ytre[:, :-p] + tre @ defl.Xre.T - tim @ defl.Xim.T
+            vpim = ytim[:, :-p] + tre @ defl.Xim.T + tim @ defl.Xre.T
+        else:
+            vpre, vpim = ytre, ytim
         # delay terms: W = Y @ C^T, complex split into four small GEMMs
-        WreT = Cre @ ytre - Cim @ ytim  # (terms, n)
-        WimT = Cre @ ytim + Cim @ ytre
+        WreT = Cre @ vpre - Cim @ vpim  # (terms, n)
+        WimT = Cre @ vpim + Cim @ vpre
         if hasattr(bank, "lincomb_apply_split"):  # complex-operand aware
             zre, zim = bank.lincomb_apply_split(WreT.T, WimT.T)
             zre, zim = zre.astype(dt), zim.astype(dt)
         else:
             zre = bank.lincomb_apply(WreT.T).astype(dt)  # bank may be wider
             zim = bank.lincomb_apply(WimT.T).astype(dt)
-        # identity term: -gamma * y_1
-        zre = zre - gre * ytre[1] + gim * ytim[1]
-        zim = zim - gre * ytim[1] - gim * ytre[1]
+        # identity term: -gamma * y_1 (acting on the extended v'_1)
+        zre = zre - gre * vpre[1] + gim * vpim[1]
+        zim = zim - gre * vpim[1] - gim * vpre[1]
 
         xre, xim = solver.solve_pair(zre, zim)
+        if defl is not None:
+            # bordered solve: v0 = g - X (P0 g), w0 = (sigma I - S) P0 g
+            pgre = defl.Pre @ xre - defl.Pim @ xim
+            pgim = defl.Pre @ xim + defl.Pim @ xre
+            w0re = defl.Gre @ xre - defl.Gim @ xim
+            w0im = defl.Gre @ xim + defl.Gim @ xre
+            xre = jnp.concatenate(
+                [xre - (defl.Xre @ pgre - defl.Xim @ pgim), w0re])
+            xim = jnp.concatenate(
+                [xim - (defl.Xre @ pgim + defl.Xim @ pgre), w0im])
         yre = ytre.at[0].set(-xre)
         yim = ytim.at[0].set(-xim)
 
@@ -217,11 +297,11 @@ def _init_carry(m, v0re, v0im, dt):
 
 @partial(jax.jit, static_argnames=("m", "nsteps", "scaled"))
 def _scan_chunk(bank, m, nsteps, k0, carry, Cre, Cim, gre, gim, solver,
-                scaled=False, inv_theta=1.0):
+                scaled=False, inv_theta=1.0, defl=None):
     """Advance ``nsteps`` IAR steps starting at (1-based) step ``k0``."""
     dt = carry[0].dtype
     step = _step_fn(bank, m, Cre, Cim, gre, gim, solver, dt, scaled=scaled,
-                    inv_theta=inv_theta)
+                    inv_theta=inv_theta, defl=defl)
     return jax.lax.scan(step, carry, k0 + jnp.arange(nsteps))[0]
 
 
@@ -307,7 +387,7 @@ def apply_theta(Sre, Sim, theta):
 
 def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
                  neigs, tol, resnorm, n=None, check_error_every=None,
-                 scaled=False, theta=1.0):
+                 scaled=False, theta=1.0, defl=None):
     """Shared complex-as-real IAR driver (DEP and SPMF front ends).
 
     ``id_coeff``: coefficient of the virtual ``-coeff * y_1`` identity term
@@ -346,7 +426,7 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
             steps = min(chunk, m - k_done)
             carry = _scan_chunk(bank, m, steps, jnp.asarray(k_done + 1),
                                 carry, *args, scaled=scaled,
-                                inv_theta=inv_theta)
+                                inv_theta=inv_theta, defl=defl)
             k_done += steps
             tc = time.perf_counter()
             lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
@@ -356,9 +436,10 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
             if int(np.sum(errs < tol)) >= neigs:
                 break
     else:
-        carry = iar_real_scan(bank, m, *args[:4],
-                              jnp.asarray(v.real, dt), jnp.asarray(v.imag, dt),
-                              *args[4:], scaled=scaled, inv_theta=inv_theta)
+        carry = _init_carry(m, jnp.asarray(v.real, dt),
+                            jnp.asarray(v.imag, dt), dt)
+        carry = _scan_chunk(bank, m, m, jnp.asarray(1), carry, *args,
+                            scaled=scaled, inv_theta=inv_theta, defl=defl)
         k_done = m
         lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
         errs = np.array([resnorm(lams[s], Q[:, s]) for s in range(len(lams))])

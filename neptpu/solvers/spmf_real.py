@@ -42,6 +42,7 @@ __all__ = [
     "spmf_fun_scalars",
     "spmf_shift_block_lu",
     "iar_real_spmf",
+    "iar_real_spmf_deflated",
 ]
 
 
@@ -277,3 +278,159 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     if return_info:
         return lams, Q, info
     return lams, Q
+
+
+def iar_real_spmf_deflated(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6,
+                           tol=None, restarts=None, v=None,
+                           dtype=jnp.float32, check_error_every=None,
+                           errmeasure=None, return_info=False, seed=0):
+    """Restarted complex-as-real IAR with Effenberger deflation — the
+    compiled-kernel never-reconverge loop (reference ``nep_deflation.jl:
+    369-425`` + ``method_jd.jl`` restart pattern, recast for the TPU scan).
+
+    Each sweep runs :func:`iar_real_spmf`'s scan in the theta-scaled space
+    extended by the current invariant pair (X, S) via
+    :class:`~neptpu.solvers.iar_real.DeflationOps` — the deflation rides
+    INSIDE the compiled ``lax.scan`` (bank contraction on ``v' = v + X t``,
+    bordered solve reusing the one shifted factorization).  Converged new
+    pairs augment (X, S); converged pairs can never reconverge, so a small
+    ``maxit`` per sweep bounds basis memory while the total converged count
+    grows across sweeps.  Returns original-problem eigenpairs from the
+    invariant pair (``eig(S)``; ``Q = X Z`` columns normalized).
+    """
+    from .iar_real import DeflationOps, auto_theta, apply_theta, run_iar_real
+    from ..models.deflation import normalize_schur_pair
+
+    mats, fv = collect_spmf_terms(nep)
+    n = mats[0].shape[0]
+    m = int(maxit)
+    dt = jnp.dtype(dtype)
+    if tol is None:
+        tol = 1e4 * float(jnp.finfo(dt).eps)
+    if restarts is None:
+        restarts = int(neigs) + 2
+    bank = make_mixed_bank(mats, dtype=np.dtype(dt))
+
+    t0 = time.perf_counter()
+    from ..ops.partitioned import build_spmf_shift_solver
+
+    solver = build_spmf_shift_solver(mats, fv, sigma, dtype=dt)
+    if solver is None:
+        solver = spmf_shift_block_lu(mats, fv, sigma, dtype=dt)
+    jax.block_until_ready(jax.tree_util.tree_leaves(solver))
+    t_fact = time.perf_counter() - t0
+
+    # the deflated scan runs in the theta-scaled Taylor space only
+    Cre, Cim = spmf_coeff_table(fv, sigma, gamma, m, scaled=True)
+    theta = auto_theta(Cre, Cim, m, dt)
+    Cre, Cim = apply_theta(Cre, Cim, theta)
+    m_fin = finite_table_prefix(Cre, Cim, dt)
+    if m_fin < m:
+        m = m_fin
+        Cre, Cim = Cre[:, : m + 1], Cim[:, : m + 1]
+    # the extension folds w-block content into v'_0 = X t_0, whose j=0 term
+    # M(sigma) X t_0 must NOT be dropped: restore column 0 to f_i(sigma)
+    # (harmless without deflation — the pre-solve block 0 is exactly zero)
+    f0 = spmf_fun_scalars(fv, sigma)
+    Cre[:, 0], Cim[:, 0] = f0.real, f0.imag
+
+    fro = np.array([np.sqrt(np.abs(A.multiply(A.conj())).sum())
+                    for A in mats])
+    rn0 = _spmf_host_resnorm(mats, fv)
+
+    def backward(lam, u):
+        scale = float(np.abs(spmf_fun_scalars(fv, lam)) @ fro)
+        return rn0(lam, u) / scale
+
+    meas = errmeasure if errmeasure is not None else backward
+
+    rng = np.random.default_rng(seed)
+    X = np.zeros((n, 0), dtype=complex)
+    S = np.zeros((0, 0), dtype=complex)
+    sweeps = []
+    found = []  # (lam, recovered original eigvec) captured at convergence
+    t_scan = 0.0
+    for sweep in range(int(restarts)):
+        p = X.shape[1]
+        if p >= neigs:
+            break
+        defl = None if p == 0 else DeflationOps.build(
+            X, S, sigma, gamma * theta, m, dt)
+
+        def rn_ext(lam, q, p=p, X=X, S=S):
+            # original-problem backward error of the recovered eigvec
+            # u = v + X (lam I - S)^{-1} w  (Effenberger recovery)
+            if p == 0:
+                u = q
+            else:
+                w = np.linalg.solve(
+                    complex(lam) * np.eye(p) - S, np.asarray(q[n:]))
+                u = np.asarray(q[:n]) + X @ w
+            nu = np.linalg.norm(u)
+            return meas(lam, u / nu) if nu > 0 else np.inf
+
+        if v is not None and p == 0:
+            v0 = np.asarray(v, dtype=complex)
+            v0 = np.concatenate([v0, np.zeros(p)])
+        else:
+            v0 = (rng.standard_normal(n + p)
+                  + 1j * rng.standard_normal(n + p))
+        lams, Q, info = run_iar_real(
+            bank, m, Cre, Cim, 0.0, v0, solver, dt,
+            sigma=sigma, gamma=gamma, neigs=neigs - p, tol=tol,
+            resnorm=rn_ext, n=n + p,
+            check_error_every=check_error_every, scaled=True, theta=theta,
+            defl=defl)
+        t_scan += info["t_scan"]
+        sweeps.append(info["nconv"])
+        if info["nconv"] == 0:
+            continue  # fresh random start next sweep
+        # multi-augment the invariant pair with this sweep's converged new
+        # pairs: V1 = [X, v_j...], S1 = [[S, w_j...], [0, diag(lam_j)]]
+        eigS = np.linalg.eigvals(S) if p else np.array([])
+        newV, newW, newL = [], [], []
+        for j in range(len(lams)):
+            la = complex(lams[j])
+            if eigS.size and np.min(np.abs(la - eigS)) < 1e-8 * max(
+                    1.0, abs(la)):
+                continue  # numerically duplicate (should not happen)
+            if newL and np.min(np.abs(la - np.asarray(newL))) < 1e-8 * max(
+                    1.0, abs(la)):
+                continue
+            newV.append(np.asarray(Q[:n, j]))
+            newW.append(np.asarray(Q[n:, j]) if p else np.zeros(0))
+            newL.append(la)
+            # capture the recovered original-problem eigvec NOW (the final
+            # eig(S)-based extraction can lose digits to the invariant
+            # pair's conditioning)
+            if p:
+                wj = np.linalg.solve(la * np.eye(p) - S, newW[-1])
+                uj = newV[-1] + X @ wj
+            else:
+                uj = newV[-1]
+            found.append((la, uj / np.linalg.norm(uj)))
+        if not newL:
+            continue
+        k = len(newL)
+        V1 = np.concatenate([X] + [vv[:, None] for vv in newV], axis=1)
+        S1 = np.zeros((p + k, p + k), dtype=complex)
+        S1[:p, :p] = S
+        for j in range(k):
+            S1[:p, p + j] = newW[j]
+            S1[p + j, p + j] = newL[j]
+        S, X = normalize_schur_pair(S1, V1)
+
+    # eigenpairs as captured at convergence time, residual-sorted
+    if found:
+        D = np.array([la for la, _ in found])
+        Q = np.stack([u for _, u in found], axis=1)
+        order = np.argsort([meas(D[j], Q[:, j]) for j in range(len(D))])
+        D, Q = D[order], Q[:, order]
+    else:
+        D = np.zeros(0, dtype=complex)
+        Q = np.zeros((n, 0), dtype=complex)
+    info = {"t_factorize": t_fact, "t_scan": t_scan, "theta": theta,
+            "sweeps": sweeps, "nconv": int(len(D)), "m_per_sweep": m}
+    if return_info:
+        return D, Q, info
+    return D, Q

@@ -106,3 +106,76 @@ def test_iar_real_spmf_rejects_bulk_complex_operands():
                    check_consistency=False)
     with pytest.raises(ValueError, match="imaginary"):
         iar_real_spmf(nep, sigma=0.5, maxit=5)
+
+
+@pytest.mark.slow
+def test_iar_real_spmf_deflated_never_reconverges():
+    """Compiled-kernel Effenberger deflation (DeflationOps inside the scan):
+    restarted sweeps accumulate DISTINCT eigenpairs — converged pairs never
+    reconverge (reference nep_deflation.jl contract) — and every returned
+    pair carries a small original-problem residual."""
+    from neptpu.solvers.spmf_real import iar_real_spmf_deflated
+
+    nep = _small_gun()
+    D, Q, info = iar_real_spmf_deflated(
+        nep, sigma=30 + 1j, maxit=16, neigs=5, tol=1e-7,
+        dtype=jnp.float64, return_info=True, check_error_every=8)
+    assert info["nconv"] >= 4, info
+    assert len(info["sweeps"]) >= 2  # the run actually restarted
+    for i in range(len(D)):
+        for j in range(i + 1, len(D)):
+            assert abs(D[i] - D[j]) > 1e-6  # all distinct
+    for s in range(len(D)):
+        r = float(compute_resnorm(nep, D[s], jnp.asarray(Q[:, s])))
+        assert r < 1e-3, (D[s], r)
+    # agreement with the plain (non-deflated) run on the nearest pairs
+    lam_ref, _ = iar_real_spmf(nep, sigma=30 + 1j, maxit=35, neigs=8,
+                               tol=1e-8, dtype=jnp.float64)
+    lam_ref = np.asarray(lam_ref)
+    near = sorted(D, key=lambda la: abs(la - (30 + 1j)))[:3]
+    for la in near:
+        assert min(abs(la - lam_ref)) < 1e-5, (la, lam_ref)
+
+
+def test_deflation_ops_matches_reference_deflated_mlincomb():
+    """DeflationOps' folded contraction == models/deflation.py's
+    DeflatedGenericNEP.Mlincomb for random blocks (the in-scan extension is
+    exactly the Effenberger operator)."""
+    import math
+
+    from neptpu.models.deflation import deflate_eigpair
+    from neptpu.solvers.iar_real import DeflationOps
+    from neptpu.solvers.spmf_real import spmf_coeff_table, spmf_fun_scalars
+
+    nep = _small_gun()
+    sigma = 30 + 1j
+    mats, fv = collect_spmf_terms(nep)
+    n = nep.n
+    rng = np.random.default_rng(5)
+    lam0 = 30.1 + 0.2j
+    x0 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x0 /= np.linalg.norm(x0)
+    dnep = deflate_eigpair(nep, lam0, x0, mode=":Generic")
+    X, S = dnep.V0, dnep.S0
+    p, m, gt = 1, 6, 0.7
+    defl = DeflationOps.build(X, S, sigma, gt, m, jnp.float64)
+    U = np.zeros((m + 1, n + p), dtype=complex)
+    U[1:] = rng.standard_normal((m, n + p)) \
+        + 1j * rng.standard_normal((m, n + p))
+    # mine: t -> v' -> table contraction (j=0 column restored to f(sigma))
+    T = np.asarray(defl.Tre) + 1j * np.asarray(defl.Tim)
+    t = (T @ U[:, n:].reshape(-1)).reshape(m + 1, p)
+    vp = U[:, :n] + t @ X.T
+    Cre, Cim = spmf_coeff_table(fv, sigma, 1.0, m, scaled=True)
+    C = Cre + 1j * Cim
+    for j in range(m + 1):
+        C[:, j] *= gt ** j
+    C[:, 0] = spmf_fun_scalars(fv, sigma)
+    z = np.zeros(n, dtype=complex)
+    for i, A in enumerate(mats):
+        z += A @ (vp.T @ C[i])
+    # reference
+    a = np.array([0.0] + [gt ** j / math.factorial(j)
+                          for j in range(1, m + 1)])
+    z_ref = np.asarray(dnep.Mlincomb(sigma, U.T, a=a))
+    assert np.linalg.norm(z - z_ref[:n]) < 1e-12 * np.linalg.norm(z_ref[:n])
