@@ -37,15 +37,24 @@ def initialize_distributed(coordinator_address: str | None = None,
     global _DIST_INITIALIZED
     if _DIST_INITIALIZED:
         return True
+    if jax.distributed.is_initialized():  # launcher/program already wired it
+        _DIST_INITIALIZED = True
+        return True
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    on_tpu_pod = jax.default_backend() == "tpu"
-    if coordinator_address is None and not on_tpu_pod:
-        return False  # single-process CPU/GPU run: nothing to do
+    if coordinator_address is None and num_processes is None:
+        # no explicit cluster config: auto-init only on TPU pod runtimes.
+        # NOTE: probe via env, NOT jax.default_backend() — touching the
+        # backend initializes it and jax.distributed.initialize must run
+        # BEFORE backend initialization (the round-2 wiring silently
+        # degraded to single-process because of exactly that).
+        platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+        if "tpu" not in platforms and not os.environ.get("TPU_WORKER_ID"):
+            return False  # single-process CPU/GPU run: nothing to do
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -54,10 +63,11 @@ def initialize_distributed(coordinator_address: str | None = None,
         )
         _DIST_INITIALIZED = True
         return True
-    except (RuntimeError, ValueError):
-        # already initialized (e.g. by the launcher) or single-host TPU
-        _DIST_INITIALIZED = True
-        return True
+    except RuntimeError as e:
+        if "already" in str(e).lower():  # launcher beat us to it — fine
+            _DIST_INITIALIZED = True
+            return True
+        raise
 
 
 def make_mesh(rows: int = None, nodes: int = 1, devices=None,
