@@ -101,7 +101,10 @@ class PEP(AbstractSPMF):
         if a is None:
             a = jnp.ones((k,))
         C = self._coeffs(lam, k, a, startder)  # (deg+1, k)
-        W = V.astype(C.dtype) @ C.T
+        # promote BOTH ways: real-lam coefficient tables must not truncate a
+        # complex V (caught by the NEP-class dtype sweep)
+        dt = jnp.result_type(V.dtype, C.dtype)
+        W = V.astype(dt) @ C.astype(dt).T
         return self.bank.lincomb_apply(W)
 
     def MM(self, S, V):

@@ -26,6 +26,7 @@ from .iar_chebyshev import iar_chebyshev
 from .iar_jit import iar_jitted, iar_scan_kernel
 from .iar_real import iar_real, iar_real_scan, dep_shift_block_lu
 from .spmf_real import iar_real_spmf, iar_real_spmf_deflated
+from .tiar_jit import tiar_jitted, tiar_jitted_spmf
 from .aaa import AAAeigs, svAAA, get_prz
 from .blocknewton import blocknewton
 from .nlar import nlar, default_eigval_sorter, residual_eigval_sorter, threshold_eigval_sorter
@@ -47,6 +48,8 @@ __all__ = [
     "iar_real_scan",
     "iar_real_spmf",
     "iar_real_spmf_deflated",
+    "tiar_jitted",
+    "tiar_jitted_spmf",
     "dep_shift_block_lu",
     "iar_jitted",
     "iar_scan_kernel",

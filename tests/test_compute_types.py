@@ -87,3 +87,72 @@ def test_f32_mode_runs():
     assert np.asarray(v).dtype == np.complex64
     r = float(neptpu.compute_resnorm(nep, lam, v))
     assert r < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Full NEP-class x lambda-dtype sweep (reference compute_types.jl:30-80):
+# for every problem class, compute_Mder/compute_Mlincomb must be consistent
+# with each other at every lambda dtype, results never silently downcast
+# below result_type(lam, operands), and real-lambda-real-operand runs of
+# real problems stay real.
+# ---------------------------------------------------------------------------
+
+
+def _sweep_problems():
+    import scipy.sparse as sp
+
+    from neptpu import PEP, SPMF_NEP, SumNEP
+    from neptpu.models.cheb import ChebPEP
+    from neptpu.models.derspmf import DerSPMF
+    from neptpu.models.helpers import REP
+    from neptpu.models.projection import create_proj_NEP
+    from neptpu.models.deflation import deflate_eigpair
+
+    rng = np.random.default_rng(0)
+    n = 10
+    A0 = rng.standard_normal((n, n))
+    A1 = rng.standard_normal((n, n))
+    A2 = rng.standard_normal((n, n))
+    probs = {}
+    # REP's barycentric machinery is complex-valued by construction (the
+    # reference sweep likewise skip-lists it for real types)
+    probs["rep"] = (REP([A0, A1], [1.0, 2.0], [3.0, -1.0]), False)
+    pep = PEP([A0, A1, A2])
+    probs["cheb_pep"] = (ChebPEP(pep, k=6, a=-1.0, b=1.0), True)
+    dep = nep_gallery("dep0_tridiag", n)
+    probs["derspmf"] = (DerSPMF(dep, sigma=0.2, m=8), False)  # complex table
+    probs["sum"] = (SumNEP(pep, dep), True)
+    proj = create_proj_NEP(pep, maxsize=4, dtype=np.float64)
+    V = np.linalg.qr(rng.standard_normal((pep.n, 3)))[0]
+    proj.set_projectmatrices(V, V)
+    probs["proj"] = (proj, True)
+    lam0, v0 = 0.27 + 0.31j, rng.standard_normal(pep.n) + 0j
+    probs["deflated"] = (deflate_eigpair(pep, lam0, v0, mode=":Generic"),
+                         False)
+    return probs
+
+
+@pytest.mark.parametrize("lname", sorted(LAMS))
+@pytest.mark.parametrize("pname", ["rep", "cheb_pep", "derspmf", "sum",
+                                   "proj", "deflated"])
+def test_class_sweep_mder_mlincomb_consistent(pname, lname):
+    nep, is_real = _sweep_problems()[pname]
+    lam = LAMS[lname]
+    if pname == "derspmf" and np.dtype(lam).kind == "f":
+        lam = np.complex128(lam)  # DerSPMF is built around a complex shift
+    n = nep.n
+    M0 = _dense(compute_Mder(nep, lam))
+    M1 = _dense(compute_Mder(nep, lam, 1))
+    # no silent downcast below result_type(lam, f64 operands)
+    expect = jnp.result_type(np.dtype(type(np.asarray(lam).item()))
+                             if np.isscalar(lam) else lam, np.float64)
+    assert jnp.result_type(M0.dtype, expect) == M0.dtype, (M0.dtype, expect)
+    # Mlincomb == explicit derivative combination
+    rng = np.random.default_rng(1)
+    V = rng.standard_normal((n, 2))
+    z = np.asarray(compute_Mlincomb(nep, lam, jnp.asarray(V + 0j)))
+    want = np.asarray(M0) @ V[:, 0] + np.asarray(M1) @ V[:, 1]
+    np.testing.assert_allclose(z, want, rtol=1e-6, atol=1e-8)
+    # real problems at real lambda stay real
+    if is_real and np.dtype(lam).kind == "f":
+        assert not np.iscomplexobj(np.asarray(M0)), pname
