@@ -338,19 +338,37 @@ def fetch_host(x, shape=None):
 
 def _extract_ritz(carry, k_done, m, n, sigma, gamma):
     """Host Ritz extraction from the first k_done Krylov steps:
-    lam = sigma + gamma / theta, Q = V0[:, :k] @ Z (unit columns)."""
+    lam = sigma + gamma / theta, Q = V0[:, :k] @ Z (unit columns).
+    Also returns the Arnoldi residual estimates
+    ``|H[k, k-1]| |Z[k-1, s]|`` — a cheap RANKING of which Ritz pairs are
+    worth an exact (host SpMV) residual check."""
     Vre, Vim, Hre, Him = carry
     Hre_h = fetch_host(Hre, (m + 1, m))
     Him_h = fetch_host(Him, (m + 1, m))
     H = Hre_h[:k_done, :k_done] + 1j * Him_h[:k_done, :k_done]
     D, Z = np.linalg.eig(H)
     lams = complex(sigma) + complex(gamma) / D
+    beta_k = abs(Hre_h[k_done, k_done - 1] + 1j * Him_h[k_done, k_done - 1])
+    ests = beta_k * np.abs(Z[k_done - 1, :])
     nv = Vre.shape[2]
     V0 = (fetch_host(Vre[:, 0, :], (m + 1, nv))
           + 1j * fetch_host(Vim[:, 0, :], (m + 1, nv))).T  # (nv, m+1)
     Q = V0[:n, :k_done] @ Z
     Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
-    return lams, Q
+    return lams, Q, ests
+
+
+def _filtered_errs(lams, Q, ests, resnorm, neigs):
+    """Exact residuals for the most promising pairs only: the top
+    ``max(3 neigs, 12)`` by Arnoldi estimate get a real ``resnorm`` call;
+    the rest are marked inf (they sort last and never count as converged).
+    Cuts the per-peek host cost from O(k) to O(neigs) SpMV sweeps."""
+    cap = max(3 * int(neigs), 12)
+    errs = np.full(len(lams), np.inf)
+    idx = np.argsort(ests)[:cap] if len(lams) > cap else range(len(lams))
+    for s in idx:
+        errs[s] = resnorm(lams[s], Q[:, s])
+    return errs
 
 
 def auto_theta(Sre, Sim, m, dt):
@@ -429,9 +447,8 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
                                 inv_theta=inv_theta, defl=defl)
             k_done += steps
             tc = time.perf_counter()
-            lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
-            errs = np.array([resnorm(lams[s], Q[:, s])
-                             for s in range(len(lams))])
+            lams, Q, ests = _extract_ritz(carry, k_done, m, n, sigma, gamma)
+            errs = _filtered_errs(lams, Q, ests, resnorm, neigs)
             t_check += time.perf_counter() - tc
             if int(np.sum(errs < tol)) >= neigs:
                 break
@@ -441,8 +458,8 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
         carry = _scan_chunk(bank, m, m, jnp.asarray(1), carry, *args,
                             scaled=scaled, inv_theta=inv_theta, defl=defl)
         k_done = m
-        lams, Q = _extract_ritz(carry, k_done, m, n, sigma, gamma)
-        errs = np.array([resnorm(lams[s], Q[:, s]) for s in range(len(lams))])
+        lams, Q, ests = _extract_ritz(carry, k_done, m, n, sigma, gamma)
+        errs = _filtered_errs(lams, Q, ests, resnorm, neigs)
     t_scan = time.perf_counter() - t0
 
     idx = np.argsort(errs)

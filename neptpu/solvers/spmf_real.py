@@ -15,8 +15,12 @@ reference ``NLEVP_native.jl:4-18``):
 * the merged real term bank (all A_i stacked; DIA when banded, aligned-CSR
   else) drives the fused Mlincomb in paired real channels — the same four
   small GEMMs + two real bank applies as the DEP path;
-* the shifted solve is the real 2n x 2n block LU, assembled on the host in
-  complex128 then split (``[[Re M, -Im M], [Im M, Re M]]``).
+* the shifted solve is structure-exploiting by default: the partitioned
+  SPIKE + SMW solver (:mod:`neptpu.ops.partitioned` — banded bulk in the
+  row-interleaved real encoding, low-rank/arrow parts by
+  Sherman-Morrison-Woodbury, explicit block inverses + iterative
+  refinement on TPU); the dense real 2n x 2n block LU remains the fallback
+  for bulks that are neither banded nor arrow.
 
 The scan kernel itself is *shared* with the DEP path
 (:func:`neptpu.solvers.iar_real.iar_real_scan` with the virtual identity
