@@ -139,11 +139,24 @@ class DiaTermBank:
                 self.data.astype(dt), self.offsets, W.astype(dt)
             )
         W = W.astype(dt)
-        y = jnp.zeros((self.shape[0],), dtype=dt)
-        for d, off in enumerate(self.offsets):
-            Ws = self._shifted(W, off)  # (n, m)
-            y = y + jnp.sum(self.data[:, d, :].astype(dt).T * Ws, axis=1)
-        return y
+        n = self.shape[0]
+        if len(self.offsets) <= 16:
+            # stencil-like banks: unrolled shifted FMA streams fuse well
+            y = jnp.zeros((n,), dtype=dt)
+            for d, off in enumerate(self.offsets):
+                Ws = self._shifted(W, off)  # (n, m)
+                y = y + jnp.sum(self.data[:, d, :].astype(dt).T * Ws, axis=1)
+            return y
+        # wide banks (the WEP's block-dense z coupling carries 2nz+1
+        # diagonals): one padded gather + a single einsum — unrolling
+        # hundreds of shift ops explodes both compile and run time
+        offs = np.asarray(self.offsets)
+        lo = int(max(-offs.min(), 0))
+        hi = int(max(offs.max(), 0))
+        Wp = jnp.zeros((n + lo + hi, W.shape[1]), dtype=dt).at[lo:lo + n].set(W)
+        idx = jnp.arange(n)[:, None] + jnp.asarray(offs + lo)[None, :]
+        G = Wp[idx]  # (n, ndiag, m)
+        return jnp.einsum("idr,rdi->r", self.data.astype(dt), G)
 
     def combine(self, w):
         """sum_i w_i A_i as a new single-term DiaTermBank view (dense diag data)."""

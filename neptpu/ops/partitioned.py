@@ -97,31 +97,50 @@ def complex_lowrank_to_interleaved(Lc, Uc):
 @partial(jax.jit, static_argnames=("offsets", "p", "blk", "b", "mode"))
 def _factor_partitioned(strips, offsets, p, blk, b, mode):
     """strips (ndiag, p*blk) -> per-partition factors + replicated reduced
-    inverse.  All partitions factored in one vmap batch."""
+    inverse.  All partitions factored in one vmap batch.
+
+    The D/B/C assembly is ONE batched scatter over host-precomputed static
+    index lists (wide banks — the WEP carries 2nz+1 diagonals — would
+    otherwise unroll hundreds of diag ops and explode XLA compile time)."""
     dt = strips.dtype
     s = strips.reshape(len(offsets), p, blk).transpose(1, 0, 2)  # (p,nd,blk)
 
-    rows_all = jnp.arange(blk)
+    # static scatter plans (numpy; baked into the program as constants).
+    # strip convention: strip[j, r] = A[r, r + off_j], r the LOCAL ROW.
+    d_rows, d_cols, d_j = [], [], []
+    b_rows, b_cols, b_j = [], [], []
+    c_rows, c_cols, c_j = [], [], []
+    for j, off in enumerate(offsets):
+        r = np.arange(max(0, -off), blk - max(0, off))
+        d_rows.append(r)
+        d_cols.append(r + off)
+        d_j.append(np.full(len(r), j))
+        if off > 0:  # coupling to the NEXT partition
+            r2 = np.arange(blk - off, blk)
+            b_rows.append(r2)
+            b_cols.append(r2 + off - blk)
+            b_j.append(np.full(off, j))
+        elif off < 0:  # coupling to the PREVIOUS partition
+            r2 = np.arange(0, -off)
+            c_rows.append(r2)
+            c_cols.append(r2 + off + b)
+            c_j.append(np.full(-off, j))
 
-    def build_blocks(sd, d):
-        D = jnp.zeros((blk, blk), dtype=dt)
-        B = jnp.zeros((blk, b), dtype=dt)  # coupling to next partition
-        C = jnp.zeros((blk, b), dtype=dt)  # coupling to previous partition
-        for j, off in enumerate(offsets):
-            if off >= 0:
-                D = D + jnp.diag(sd[j, : blk - off], k=off)
-                if off > 0:
-                    rows = rows_all[blk - off:]
-                    B = B.at[rows, rows + off - blk].set(sd[j, blk - off:])
-            else:
-                D = D + jnp.diag(sd[j, -off:], k=off)
-                rows = rows_all[: -off]
-                C = C.at[rows, rows + off + b].set(sd[j, : -off])
-        B = jnp.where(d == p - 1, jnp.zeros_like(B), B)
-        C = jnp.where(d == 0, jnp.zeros_like(C), C)
-        return D, B, C
+    def cat(parts):
+        return np.concatenate(parts) if parts else np.zeros(0, dtype=int)
 
-    D, B, C = jax.vmap(build_blocks)(s, jnp.arange(p))
+    def scatter(shape, rows, cols, jj):
+        rows_c, cols_c, jj_c = cat(rows), cat(cols), cat(jj)
+        vals = s[:, jj_c, rows_c]  # (p, nnz)
+        out = jnp.zeros((p,) + shape, dtype=dt)
+        return out.at[:, rows_c, cols_c].add(vals)
+
+    D = scatter((blk, blk), d_rows, d_cols, d_j)
+    B = scatter((blk, b), b_rows, b_cols, b_j)
+    C = scatter((blk, b), c_rows, c_cols, c_j)
+    dvec = jnp.arange(p)
+    B = jnp.where((dvec == p - 1)[:, None, None], 0.0, B)
+    C = jnp.where((dvec == 0)[:, None, None], 0.0, C)
     if mode == "inv":
         Dinv = jnp.linalg.inv(D)  # batched; the hot-path solve is pure GEMM
         fac = Dinv
@@ -208,21 +227,22 @@ class PartitionedBandedSolver:
 
     # -- banded matvec (for residual refinement) -------------------------
     def matvec(self, x):
-        """y = B x from the diagonal strips; x (n[, k])."""
+        """y = B x from the diagonal strips; x (n[, k]).  One padded gather
+        + einsum (constant op count regardless of the diagonal count)."""
         n = self.n
+        N = self.p * self.blk
         one_d = x.ndim == 1
-        xp = jnp.zeros((self.p * self.blk,) + x.shape[1:], dtype=x.dtype
-                       ).at[:n].set(x)
-        y = jnp.zeros_like(xp)
-        for j, off in enumerate(self.offsets):
-            s = self.strips[j]
-            s = s if one_d else s[:, None]
-            if off == 0:
-                y = y + s * xp
-            elif off > 0:
-                y = y.at[:-off].add(s[:-off] * xp[off:])
-            else:
-                y = y.at[-off:].add(s[-off:] * xp[:off])
+        offs = np.asarray(self.offsets)
+        lo = int(max(-offs.min(), 0))
+        hi = int(max(offs.max(), 0))
+        xp = jnp.zeros((N + lo + hi,) + x.shape[1:], dtype=x.dtype
+                       ).at[lo:lo + n].set(x[:n])
+        idx = jnp.arange(N)[:, None] + jnp.asarray(offs + lo)[None, :]
+        G = xp[idx]  # (N, ndiag[, k])
+        if one_d:
+            y = jnp.einsum("dr,rd->r", self.strips.astype(x.dtype), G)
+        else:
+            y = jnp.einsum("dr,rdk->rk", self.strips.astype(x.dtype), G)
         return y[:n]
 
     # -- solve ----------------------------------------------------------
@@ -260,6 +280,169 @@ class PartitionedBandedSolver:
         return x[:, 0] if one_d else x
 
 
+@partial(jax.jit, static_argnames=("offsets", "nblk", "bt"))
+def _factor_blocktridiag(strips, offsets, nblk, bt):
+    """Banded strips -> block-tridiagonal LU factors via one lax.scan.
+
+    With block size bt >= half-bandwidth, the banded matrix is exactly
+    block tridiagonal: D_i (diag), B_i (to next), C_i (from prev).  The
+    scan computes the Schur recursion S_i = D_i - C_i S_{i-1}^{-1} B_{i-1}
+    and stores S_i^{-1} — factor cost O(n bt^2) (vs SPIKE's O(n blk^2),
+    blk = n/p >> bt for wide bands), solve cost O(n bt) over 2 nblk
+    sequential steps."""
+    dt = strips.dtype
+    s = strips.reshape(len(offsets), nblk, bt).transpose(1, 0, 2)
+
+    d_rows, d_cols, d_j = [], [], []
+    b_rows, b_cols, b_j = [], [], []
+    c_rows, c_cols, c_j = [], [], []
+    for j, off in enumerate(offsets):
+        r = np.arange(max(0, -off), bt - max(0, off))
+        d_rows.append(r)
+        d_cols.append(r + off)
+        d_j.append(np.full(len(r), j))
+        if off > 0:
+            r2 = np.arange(bt - off, bt)
+            b_rows.append(r2)
+            b_cols.append(r2 + off - bt)
+            b_j.append(np.full(off, j))
+        elif off < 0:
+            r2 = np.arange(0, -off)
+            c_rows.append(r2)
+            c_cols.append(r2 + off + bt)
+            c_j.append(np.full(-off, j))
+
+    def cat(parts):
+        return np.concatenate(parts) if parts else np.zeros(0, dtype=int)
+
+    def scatter(rows, cols, jj):
+        rows_c, cols_c, jj_c = cat(rows), cat(cols), cat(jj)
+        vals = s[:, jj_c, rows_c]
+        out = jnp.zeros((nblk, bt, bt), dtype=dt)
+        return out.at[:, rows_c, cols_c].add(vals)
+
+    D = scatter(d_rows, d_cols, d_j)
+    B = scatter(b_rows, b_cols, b_j)  # B_i couples block i -> i+1
+    C = scatter(c_rows, c_cols, c_j)  # C_i couples block i -> i-1
+    B = B.at[nblk - 1].set(0.0)
+    C = C.at[0].set(0.0)
+
+    def step(Sinv_prev, opnds):
+        Di, Bi_prev, Ci = opnds
+        S = Di - Ci @ (Sinv_prev @ Bi_prev)
+        Sinv = jnp.linalg.inv(S)
+        return Sinv, Sinv
+
+    B_prev = jnp.concatenate([jnp.zeros((1, bt, bt), dtype=dt), B[:-1]])
+    _, Sinv = jax.lax.scan(step, jnp.zeros((bt, bt), dtype=dt),
+                           (D, B_prev, C))
+    return Sinv, B, C, D
+
+
+@jax.tree_util.register_pytree_node_class
+class BlockTridiagSolver:
+    """Block-Thomas direct solver for wide-band matrices on one device.
+
+    The waveguide's bulk couples densely within each z-column (bandwidth
+    ~2 nz) — SPIKE's dense partition blocks (blk = n/p >> bandwidth) would
+    cost O(n (n/p)^2) to factor there; the block-tridiagonal Schur
+    recursion costs O(n b^2) and its solve is a pair of lax.scans of small
+    MXU GEMVs.  Same interface as :class:`PartitionedBandedSolver` (solve,
+    matvec, pytree), selected automatically by cost in
+    :func:`build_spmf_shift_solver`."""
+
+    def __init__(self, strips, offsets, dtype=None, mode="inv", refine=None,
+                 _leaves=None, _aux=None):
+        if _leaves is not None:
+            self.Sinv, self.B, self.C, self.D, self.strips = _leaves
+            (self.offsets, self.nblk, self.bt, self.n, self.mode,
+             self.refine) = _aux
+            return
+        strips = np.asarray(strips)
+        if dtype is not None:
+            strips = strips.astype(dtype)
+        n = strips.shape[1]
+        offsets = tuple(int(o) for o in offsets)
+        if 0 not in offsets:
+            raise ValueError("banded solver requires a main diagonal")
+        b = max(max((abs(o) for o in offsets), default=1), 1)
+        bt = int(b)
+        nblk = -(-n // bt)
+        pad = np.zeros((strips.shape[0], nblk * bt), dtype=strips.dtype)
+        pad[:, :n] = strips
+        pad[offsets.index(0), n:] = 1.0
+        self.offsets, self.nblk, self.bt, self.n = offsets, nblk, bt, n
+        self.mode = mode  # inv-only internally; kept for SMW's K handling
+        # the nblk sequential Schur steps accumulate ~kappa_block eps per
+        # block — inner banded refinement wins the digits back in f32
+        self.refine = int(refine) if refine is not None else (
+            2 if np.dtype(strips.dtype) == np.float32 else 0)
+        self.strips = jnp.asarray(pad)
+        self.Sinv, self.B, self.C, self.D = _factor_blocktridiag(
+            self.strips, offsets, nblk, bt)
+
+    def tree_flatten(self):
+        return ((self.Sinv, self.B, self.C, self.D, self.strips),
+                (self.offsets, self.nblk, self.bt, self.n, self.mode,
+                 self.refine))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(None, None, _leaves=leaves, _aux=aux)
+
+    def matvec(self, x):
+        """y = B x through the block-tridiagonal form: three batched GEMMs,
+        no gather materialization (works for block RHS of any width)."""
+        nblk, bt, n = self.nblk, self.bt, self.n
+        one_d = x.ndim == 1
+        if one_d:
+            x = x[:, None]
+        k = x.shape[1]
+        xp = jnp.zeros((nblk * bt, k), dtype=x.dtype).at[:n].set(x[:n])
+        xb = xp.reshape(nblk, bt, k)
+        y = self.D @ xb
+        y = y.at[:-1].add(self.B[:-1] @ xb[1:])
+        y = y.at[1:].add(self.C[1:] @ xb[:-1])
+        y = y.reshape(nblk * bt, k)[:n]
+        return y[:, 0] if one_d else y
+
+    def solve(self, f):
+        x = self._solve_raw(f)
+        for _ in range(self.refine):
+            x = x + self._solve_raw(f - self.matvec(x))
+        return x
+
+    def _solve_raw(self, f):
+        """Forward/backward block-Thomas sweeps; f (n[, k])."""
+        nblk, bt, n = self.nblk, self.bt, self.n
+        one_d = f.ndim == 1
+        if one_d:
+            f = f[:, None]
+        k = f.shape[1]
+        fp = jnp.zeros((nblk * bt, k), dtype=f.dtype).at[:n].set(f)
+        fb = fp.reshape(nblk, bt, k)
+
+        def fwd(y_prev, opnds):
+            fi, Ci, Sinv_prev = opnds
+            y = fi - Ci @ (Sinv_prev @ y_prev)
+            return y, y
+
+        Sinv_prev = jnp.concatenate(
+            [jnp.zeros((1, bt, bt), dtype=self.Sinv.dtype), self.Sinv[:-1]])
+        _, Y = jax.lax.scan(fwd, jnp.zeros((bt, k), dtype=f.dtype),
+                            (fb, self.C, Sinv_prev))
+
+        def bwd(x_next, opnds):
+            yi, Sinv_i, Bi = opnds
+            x = Sinv_i @ (yi - Bi @ x_next)
+            return x, x
+
+        _, X = jax.lax.scan(bwd, jnp.zeros((bt, k), dtype=f.dtype),
+                            (Y, self.Sinv, self.B), reverse=True)
+        x = X.reshape(nblk * bt, k)[:n]
+        return x[:, 0] if one_d else x
+
+
 @jax.tree_util.register_pytree_node_class
 class InterleavedSMW:
     """Shifted-solve operand for the complex-as-real kernels: banded bulk via
@@ -294,7 +477,7 @@ class InterleavedSMW:
             return
         Ltil = jnp.asarray(Ltil)
         Util = jnp.asarray(Util)
-        X = base.solve(Ltil)
+        X = base.solve(Ltil)  # refined where the base solver refines
         K = jnp.eye(Util.shape[1], dtype=X.dtype) + Util.T @ X
         if self.mode == "inv":
             K_fac, K_piv = jnp.linalg.inv(K), jnp.zeros(
@@ -416,7 +599,27 @@ def build_spmf_shift_solver(mats, fv, sigma, dtype=jnp.float32, p=16,
     rstrips, roffs = interleave_complex_banded(strips, offs)
     if mode is None:
         mode = "lu" if rdt == np.float64 else "inv"
-    base = PartitionedBandedSolver(rstrips.astype(rdt), roffs, p=p, mode=mode)
+    # factor-cost selection: SPIKE's vmapped dense blocks cost p (N/p)^3;
+    # for wide bands (the waveguide's dense z-coupling, b ~ 2 nz) the
+    # block-Thomas Schur recursion costs N b^2 and wins by orders of
+    # magnitude at wep_large scale
+    N = rstrips.shape[1]
+    b = max((abs(o) for o in roffs), default=1)
+    blk = -(-N // p)
+    spike_flops = p * blk**3 + (2 * b * p) ** 3
+    thomas_flops = 4 * N * b * b
+    # bias 16x toward SPIKE: its per-solve path is fully parallel while
+    # block-Thomas pays 2 nblk sequential scan steps per solve.  The Schur
+    # recursion is unpivoted — restrict it to f64 ('lu') runs; in f32 the
+    # element growth at wep_large scale loses the solve entirely (and the
+    # global SMW capacitance matrix is intrinsically ill-conditioned there:
+    # kappa(K) ~ 4e9 at n=46k — use the WEP-native Schur solver,
+    # gallery/waveguide.py, for that regime).
+    if 16 * thomas_flops < spike_flops and mode == "lu":
+        base = BlockTridiagSolver(rstrips.astype(rdt), roffs, mode=mode)
+    else:
+        base = PartitionedBandedSolver(rstrips.astype(rdt), roffs, p=p,
+                                       mode=mode)
     if Lc is not None:
         Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
         return InterleavedSMW(base, Ltil.astype(rdt), Util.astype(rdt))

@@ -169,3 +169,56 @@ def test_partitioned_smw_matches_splu():
                                   jnp.asarray(f.imag, dt))
         x = np.asarray(xre) + 1j * np.asarray(xim)
         assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < tol, mode
+
+
+def test_block_tridiag_solver_wide_band():
+    """Block-Thomas direct solver (ops/partitioned.BlockTridiagSolver):
+    exact on wide-band matrices where SPIKE's dense partition blocks would
+    be orders of magnitude more expensive (the waveguide's dense z
+    coupling).  f64 'lu' regime — the unpivoted Schur recursion is gated
+    out of f32 runs."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from neptpu.ops.partitioned import BlockTridiagSolver, csr_to_strips
+
+    rng = np.random.default_rng(3)
+    n, b = 700, 41
+    A = sp.diags([rng.standard_normal(n - abs(o))
+                  for o in range(-b, b + 1)],
+                 list(range(-b, b + 1))).tocsr() + 10 * sp.eye(n)
+    strips, offs = csr_to_strips(A)
+    slv = BlockTridiagSolver(strips, offs)
+    f = rng.standard_normal((n, 3))
+    x = np.asarray(slv.solve(jnp.asarray(f)))
+    x_ref = spla.splu(A.tocsc()).solve(f)
+    assert np.linalg.norm(x - x_ref) < 1e-12 * np.linalg.norm(x_ref)
+    y = np.asarray(slv.matvec(jnp.asarray(f)))
+    assert np.linalg.norm(y - A @ f) < 1e-12 * np.linalg.norm(A @ f)
+
+
+@pytest.mark.slow
+def test_wep_reference_large_scale_solve():
+    """The reference's own largest WEP debug configuration
+    (test/wep_large.jl: nx=119, nz=115) — the structure-exploiting shifted
+    solve must be exact at that scale (f64, CPU)."""
+    import scipy.sparse.linalg as spla
+
+    from neptpu.ops.partitioned import build_spmf_shift_solver
+
+    nep = nep_gallery("waveguide", nx=119, nz=115,
+                      benchmark_problem="JARLEBRING", neptype="SPMF")
+    mats, fv = collect_spmf_terms(nep)
+    sigma = -3 - 3.5j
+    n = nep.n
+    slv = build_spmf_shift_solver(mats, fv, sigma, dtype=jnp.float64,
+                                  mode="lu")
+    assert slv is not None
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    w = spmf_fun_scalars(fv, sigma)
+    Mfull = sum(wi * A.astype(complex) for wi, A in zip(w, mats)).tocsc()
+    x_ref = spla.splu(Mfull).solve(f)
+    xre, xim = slv.solve_pair(jnp.asarray(f.real), jnp.asarray(f.imag))
+    x = np.asarray(xre) + 1j * np.asarray(xim)
+    assert np.linalg.norm(x - x_ref) < 1e-9 * np.linalg.norm(x_ref)
