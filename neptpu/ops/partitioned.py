@@ -151,6 +151,7 @@ def _factor_partitioned(strips, offsets, p, blk, b, mode):
         fac = lu
         VW = jax.vmap(lambda l, pv, bc: jax.scipy.linalg.lu_solve((l, pv), bc)
                       )(lu, piv, jnp.concatenate([B, C], axis=2))
+    DBC = (D, B, C)  # block form kept for the gather-free banded matvec
     V, W = VW[:, :, :b], VW[:, :, b:]  # spikes (p, blk, b)
 
     # replicated reduced system over the spike boundary rows (2 b p)
@@ -169,7 +170,7 @@ def _factor_partitioned(strips, offsets, p, blk, b, mode):
         r_piv = jnp.zeros((m,), dtype=jnp.int32)
     else:
         r_fac, r_piv = jax.scipy.linalg.lu_factor(R)
-    return fac, piv, V, W, r_fac, r_piv
+    return fac, piv, V, W, r_fac, r_piv, DBC
 
 
 @jax.tree_util.register_pytree_node_class
@@ -187,7 +188,7 @@ class PartitionedBandedSolver:
                  _leaves=None, _aux=None):
         if _leaves is not None:
             (self.fac, self.piv, self.V, self.W, self.r_fac,
-             self.r_piv, self.strips) = _leaves
+             self.r_piv, self.strips, self.DBC) = _leaves
             (self.offsets, self.p, self.blk, self.b, self.n,
              self.mode) = _aux
             return
@@ -212,13 +213,13 @@ class PartitionedBandedSolver:
         self.mode = mode
         self.strips = jnp.asarray(pad)  # kept for residual refinement
         (self.fac, self.piv, self.V, self.W, self.r_fac,
-         self.r_piv) = _factor_partitioned(self.strips, offsets, p, blk,
-                                           b, mode)
+         self.r_piv, self.DBC) = _factor_partitioned(self.strips, offsets,
+                                                     p, blk, b, mode)
 
     # -- pytree ---------------------------------------------------------
     def tree_flatten(self):
         return ((self.fac, self.piv, self.V, self.W, self.r_fac,
-                 self.r_piv, self.strips),
+                 self.r_piv, self.strips, self.DBC),
                 (self.offsets, self.p, self.blk, self.b, self.n, self.mode))
 
     @classmethod
@@ -227,23 +228,23 @@ class PartitionedBandedSolver:
 
     # -- banded matvec (for residual refinement) -------------------------
     def matvec(self, x):
-        """y = B x from the diagonal strips; x (n[, k]).  One padded gather
-        + einsum (constant op count regardless of the diagonal count)."""
-        n = self.n
-        N = self.p * self.blk
+        """y = B x through the block form: three batched GEMMs (couplings
+        reach only the adjacent partitions since b <= blk).  Gather-free —
+        a per-step gather inside a scanned solve faulted the TPU runtime,
+        and blocked GEMMs are the MXU-native shape anyway."""
+        p, blk, b, n = self.p, self.blk, self.b, self.n
+        D, B, C = self.DBC
         one_d = x.ndim == 1
-        offs = np.asarray(self.offsets)
-        lo = int(max(-offs.min(), 0))
-        hi = int(max(offs.max(), 0))
-        xp = jnp.zeros((N + lo + hi,) + x.shape[1:], dtype=x.dtype
-                       ).at[lo:lo + n].set(x[:n])
-        idx = jnp.arange(N)[:, None] + jnp.asarray(offs + lo)[None, :]
-        G = xp[idx]  # (N, ndiag[, k])
         if one_d:
-            y = jnp.einsum("dr,rd->r", self.strips.astype(x.dtype), G)
-        else:
-            y = jnp.einsum("dr,rdk->rk", self.strips.astype(x.dtype), G)
-        return y[:n]
+            x = x[:, None]
+        k = x.shape[1]
+        xp = jnp.zeros((p * blk, k), dtype=x.dtype).at[:n].set(x[:n])
+        xb = xp.reshape(p, blk, k)
+        y = D @ xb
+        y = y.at[:-1].add(B[:-1] @ xb[1:, :b])
+        y = y.at[1:].add(C[1:] @ xb[:-1, blk - b:])
+        y = y.reshape(p * blk, k)[:n]
+        return y[:, 0] if one_d else y
 
     # -- solve ----------------------------------------------------------
     def _local(self, f):
