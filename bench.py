@@ -113,7 +113,7 @@ def _with_deadline(fn, seconds):
         signal.signal(signal.SIGALRM, old)
 
 
-def bench_gun_time_to_tol(maxit=60, neigs=10, tol=1e-6, chunk=10):
+def bench_gun_time_to_tol(maxit=60, neigs=10, tol=1e-6, chunk=20):
     """North-star #2: time-to-tol for k=10 eigenpairs on gun_like (n = 9956,
     the gun dimension; PEP + two i*sqrt boundary terms) on the real chip.
 
