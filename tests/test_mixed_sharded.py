@@ -86,7 +86,7 @@ def test_sharded_smw_solve_exact():
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from neptpu.ops.mixed import make_mixed_bank
+
     from neptpu.ops.partitioned import complex_lowrank_to_interleaved
     from neptpu.parallel.mixed_sharded import _assemble_sigma, _shard2, \
         _smw_solve_local

@@ -11,7 +11,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 
 def _free_port():
