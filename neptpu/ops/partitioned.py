@@ -444,6 +444,20 @@ class BlockTridiagSolver:
         return x[:, 0] if one_d else x
 
 
+@partial(jax.jit, static_argnames=("mode",))
+def _smw_setup(base, Ltil, Util, mode):
+    """X = B^-1 Ltil and the factored capacitance K = I + Util^T X, as ONE
+    compiled program: the eager per-op path costs 15+ s of tunnel dispatch
+    at gun/WEP scale, while one jitted program rides the persistent compile
+    cache and executes in well under a second warm."""
+    X = base.solve(Ltil)
+    K = jnp.eye(Util.shape[1], dtype=X.dtype) + Util.T @ X
+    if mode == "inv":
+        return X, jnp.linalg.inv(K), jnp.zeros((K.shape[0],), dtype=jnp.int32)
+    K_fac, K_piv = jax.scipy.linalg.lu_factor(K)
+    return X, K_fac, K_piv
+
+
 @jax.tree_util.register_pytree_node_class
 class InterleavedSMW:
     """Shifted-solve operand for the complex-as-real kernels: banded bulk via
@@ -478,13 +492,7 @@ class InterleavedSMW:
             return
         Ltil = jnp.asarray(Ltil)
         Util = jnp.asarray(Util)
-        X = base.solve(Ltil)  # refined where the base solver refines
-        K = jnp.eye(Util.shape[1], dtype=X.dtype) + Util.T @ X
-        if self.mode == "inv":
-            K_fac, K_piv = jnp.linalg.inv(K), jnp.zeros(
-                (K.shape[0],), dtype=jnp.int32)
-        else:
-            K_fac, K_piv = jax.scipy.linalg.lu_factor(K)
+        X, K_fac, K_piv = _smw_setup(base, Ltil, Util, self.mode)
         self.X, self.Util, self.Ltil = X, Util, Ltil
         self.K_fac, self.K_piv = K_fac, K_piv
 
@@ -653,7 +661,7 @@ def arrow_split(A, max_rank):
     d = coo.col - coo.row
     absd = np.abs(d)
     cand = np.unique(absd)
-    best = None  # (b, m, cost)
+    cands = []  # (cost, b, m)
     for b in cand:
         wide = absd > b
         if not wide.any():
@@ -664,38 +672,39 @@ def arrow_split(A, max_rank):
             if m > 2 * max_rank:
                 continue
         cost = (2 * int(b) + 1) + 4 * m  # strips + border columns, per row
-        if best is None or cost < best[2]:
-            best = (int(b), m, cost)
+        cands.append((cost, int(b), m))
         if m == 0:
             break  # larger b only adds band cost
-    if best is None:
-        return None
-    b, m, _ = best
-    if m == 0:
-        return A, []
-    inband = absd <= b
-    band = sp.coo_matrix(
-        (coo.data[inband], (coo.row[inband], coo.col[inband])),
-        shape=A.shape).tocsr()
-    rest = sp.coo_matrix(
-        (coo.data[~inband], (coo.row[~inband], coo.col[~inband])),
-        shape=A.shape).tocsr()
-    # border columns: all wide entries with col >= n-m -> X1 @ sel^T
-    sel = np.zeros((n, m), dtype=coo.data.dtype)
-    sel[n - m:, :] = np.eye(m)
-    X1 = np.asarray(rest[:, n - m:].todense())
-    # remaining wide entries (col < n-m, row >= n-m) -> sel @ Y2^T
-    rest2 = rest[:, : n - m].tocoo()
-    if (rest2.row < n - m).any():
-        return None  # not an arrow: wide entries outside the border
-    Y2 = np.zeros((n, m), dtype=coo.data.dtype)
-    Y2[rest2.col, rest2.row - (n - m)] = rest2.data
-    factors = []
-    if np.any(X1):
-        factors.append((X1, sel))
-    if np.any(Y2):
-        factors.append((sel, Y2))
-    return band, factors
+    # try candidates cheapest-first: a candidate can fail the arrow check
+    # (wide entries outside the trailing border) while a wider bandwidth
+    # still satisfies it — do not give up on the first failure
+    for _, b, m in sorted(cands):
+        if m == 0:
+            return A, []
+        inband = absd <= b
+        rest = sp.coo_matrix(
+            (coo.data[~inband], (coo.row[~inband], coo.col[~inband])),
+            shape=A.shape).tocsr()
+        # remaining wide entries (col < n-m) must have row >= n-m
+        rest2 = rest[:, : n - m].tocoo()
+        if (rest2.row < n - m).any():
+            continue  # not an arrow at this bandwidth
+        band = sp.coo_matrix(
+            (coo.data[inband], (coo.row[inband], coo.col[inband])),
+            shape=A.shape).tocsr()
+        # border columns: all wide entries with col >= n-m -> X1 @ sel^T
+        sel = np.zeros((n, m), dtype=coo.data.dtype)
+        sel[n - m:, :] = np.eye(m)
+        X1 = np.asarray(rest[:, n - m:].todense())
+        Y2 = np.zeros((n, m), dtype=coo.data.dtype)
+        Y2[rest2.col, rest2.row - (n - m)] = rest2.data
+        factors = []
+        if np.any(X1):
+            factors.append((X1, sel))
+        if np.any(Y2):
+            factors.append((sel, Y2))
+        return band, factors
+    return None
 
 
 def band_border_split(A, max_rank):

@@ -53,6 +53,13 @@ def initialize_distributed(coordinator_address: str | None = None,
         # BEFORE backend initialization (the round-2 wiring silently
         # degraded to single-process because of exactly that).
         platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+        if not platforms:
+            # platform may have been selected through
+            # jax.config.update('jax_platforms', ...) instead of the env var
+            # (this repo's own conftest/bench pattern); the config value is
+            # readable without initializing the backend
+            platforms = (getattr(jax.config, "jax_platforms", None)
+                         or "").lower()
         if "tpu" not in platforms and not os.environ.get("TPU_WORKER_ID"):
             return False  # single-process CPU/GPU run: nothing to do
     try:

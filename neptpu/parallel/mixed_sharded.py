@@ -150,8 +150,14 @@ def _assemble_sigma(mats, fv, sigma):
 
 
 def _build_mixed_scan(mesh, axis, sb_cfg, spk_cfg, m, nterms, has_lr,
-                      has_li):
-    """The jitted m-step sharded mixed-bank scan (static config baked in)."""
+                      has_li, has_lowrank):
+    """The jitted m-step sharded mixed-bank scan (static config baked in).
+
+    ``has_lr``/``has_li`` key the BANK's low-rank factor stacks; the SMW
+    operands (X, Util, Kinv) are keyed by ``has_lowrank`` — the
+    sigma-assembly's low-rank presence — which need not agree with the
+    bank's (e.g. an SPMF whose only low-rank content is the imaginary part
+    of a banded bulk term has bank.Li set but no SMW correction)."""
     shard = P(axis)
     rep = P()
     lr_specs = (shard, shard) if has_lr else (rep, rep)
@@ -163,7 +169,7 @@ def _build_mixed_scan(mesh, axis, sb_cfg, spk_cfg, m, nterms, has_lr,
         in_specs=((shard,) + lr_specs + li_specs    # bank data + factors
                   + (rep, rep, rep)                 # Cre, Cim, inv_theta
                   + (shard,) * 4 + (rep, rep)       # spike lu/piv/V/W + red
-                  + ((shard, shard, rep) if has_lr or has_li
+                  + ((shard, shard, rep) if has_lowrank
                      else (rep, rep, rep))          # X, Util, Kinv
                   + (shard, shard)),                # v0 re/im
         out_specs=(shard, shard, rep, rep),
@@ -177,8 +183,8 @@ def _build_mixed_scan(mesh, axis, sb_cfg, spk_cfg, m, nterms, has_lr,
         Li_d = Li[0] if has_li else None
         Ui_d = Ui[0] if has_li else None
         lu_d, piv_d, Vsp_d, Wsp_d = lu[0], piv[0], Vsp[0], Wsp[0]
-        X_d = X[0] if (has_lr or has_li) else None
-        Util_d = Util[0] if (has_lr or has_li) else None
+        X_d = X[0] if has_lowrank else None
+        Util_d = Util[0] if has_lowrank else None
         v0re_d, v0im_d = v0re[0], v0im[0]
         blk = v0re_d.shape[0]
         dt = v0re_d.dtype
@@ -320,7 +326,8 @@ def iar_real_spmf_sharded(nep, mesh, sigma=0.0, gamma=1.0, maxit=30,
               ndev, sbank.main_idx, sbank.tidx_r, sbank.tidx_i)
     spk_cfg = (spike.b, ndev)
     run = _build_mixed_scan(mesh, axis, sb_cfg, spk_cfg, m, bank.nterms,
-                            sbank.Lr is not None, sbank.Li is not None)
+                            sbank.Lr is not None, sbank.Li is not None,
+                            has_lowrank)
     zero = jnp.zeros((), dtype=rdt)
     t0 = time.perf_counter()
     Vre, Vim, Hre, Him = run(

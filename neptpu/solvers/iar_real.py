@@ -354,16 +354,24 @@ def _extract_ritz(carry, k_done, m, n, sigma, gamma):
     V0 = (fetch_host(Vre[:, 0, :], (m + 1, nv))
           + 1j * fetch_host(Vim[:, 0, :], (m + 1, nv))).T  # (nv, m+1)
     Q = V0[:n, :k_done] @ Z
-    Q = Q / np.linalg.norm(Q, axis=0, keepdims=True)
+    qn = np.linalg.norm(Q, axis=0, keepdims=True)
+    Q = Q / qn
+    # estimate per unit of RECOVERED eigvector norm: in the theta-scaled
+    # space the diagonal similarity scales Ritz-vector components
+    # non-uniformly, so the raw coordinate-space estimate can misrank a
+    # converged pair; dividing by ||V0 Z_s|| makes the ranking
+    # similarity-invariant
+    ests = ests / np.maximum(qn[0], np.finfo(float).tiny)
     return lams, Q, ests
 
 
 def _filtered_errs(lams, Q, ests, resnorm, neigs):
     """Exact residuals for the most promising pairs only: the top
-    ``max(3 neigs, 12)`` by Arnoldi estimate get a real ``resnorm`` call;
-    the rest are marked inf (they sort last and never count as converged).
-    Cuts the per-peek host cost from O(k) to O(neigs) SpMV sweeps."""
-    cap = max(3 * int(neigs), 12)
+    ``max(4 neigs, 16)`` by (similarity-invariant) Arnoldi estimate get a
+    real ``resnorm`` call; the rest are marked inf (they sort last and
+    never count as converged).  Cuts the per-peek host cost from O(k) to
+    O(neigs) SpMV sweeps."""
+    cap = max(4 * int(neigs), 16)
     errs = np.full(len(lams), np.inf)
     idx = np.argsort(ests)[:cap] if len(lams) > cap else range(len(lams))
     for s in idx:
