@@ -1,39 +1,44 @@
-"""Benchmark: fused multi-term SpMV (compute_Mlincomb kernel) nnz/s per chip.
+"""Benchmark: fused multi-term SpMV (compute_Mlincomb kernel) nnz/s per chip,
+plus time-to-tolerance phases for the gun/WEP flagship problems with CPU
+float64 comparators.
 
-North-star metric from BASELINE.json: SpMV nnz/s per chip driving
-compute_Mlincomb.  The problem is a gun-scale banded SPMF bank (2D-stencil
-bands, the structure of the gallery's FD/FEM operators) in float32.
+North-star metrics from BASELINE.json: (1) SpMV nnz/s per chip driving
+compute_Mlincomb — a gun-scale banded SPMF bank (2D-stencil bands) in
+float32 through the auto-selected Pallas double-buffered stacked-DIA
+streaming kernel (``neptpu/ops/pallas_spmv.py``); ``vs_baseline`` is its
+speedup over the gather+segment-sum CSR kernel on the same operands (the
+direct mapping of the reference's per-term SpMV loop, ``NEPTypes.jl:
+972-1011``).  (2) time-to-tolerance for k=10 eigenpairs of gun_like /
+wep(109x105) / wep_large(119x115): the complex-as-real IAR
+(``solvers/spmf_real.py``, partitioned SPIKE+SMW factorization) to backward
+1e-6/1e-5, then mixed-precision per-pair Newton refinement
+(``solvers/refine.py``) to REFERENCE-class 1e-9 backward errors — all on
+the chip.  Each phase also records ``*_cpu_ref_s``: the repo's own fastest
+CPU float64 configuration (complex128 host IAR + cached scipy splu,
+``benchmarks/cpu_ref.py``) on the same problem/k/tolerance — the
+"matching-or-beating" comparator.
 
-The measured kernel is the framework's auto-selected path for this bank —
-on TPU, the Pallas double-buffered stacked-DIA streaming kernel
-(``neptpu/ops/pallas_spmv.py``): no gathers, operand windows DMA'd with halo
-and overlapped with compute.  ``vs_baseline`` reports its speedup over the
-gather+segment-sum CSR kernel on the same operands — the direct mapping of
-the reference's per-term SpMV loop (``NEPTypes.jl:972-1011``) to TPU.
-
-Timing methodology: on a tunneled/async TPU runtime, ``block_until_ready``
-and repeated same-argument dispatch are not reliable clocks.  Each op is
-timed as the SLOPE of wall time over chain length for a data-dependent chain
-(output feeds the next input) terminated by a host value fetch, minus the
-slope of the chain scaffolding alone.  This measures true sequential device
-time per application.
+Timing methodology (SpMV): on a tunneled/async TPU runtime,
+``block_until_ready`` and repeated same-argument dispatch are not reliable
+clocks.  Each op is timed as the SLOPE of wall time over chain length for a
+data-dependent chain terminated by a host value fetch, minus the slope of
+the chain scaffolding alone.  The slope measurement is REPEATED (default 5x)
+and the JSON carries median + min/max spread.
 
 Output protocol: the driver keeps the LAST complete JSON line it sees.  The
-primary metric is computed and printed (flushed) FIRST; each optional phase
-(gun_like / WEP time-to-tol) then re-prints the full merged JSON line as soon
-as it completes, under its own deadline.  A driver timeout at any point
-therefore records everything finished so far — round 2 lost its artifact by
-printing only once at the very end.
+primary metric is computed and printed (flushed) FIRST; each phase then
+re-prints the full merged JSON line as soon as it completes, under its own
+deadline.  A driver timeout at any point therefore records everything
+finished so far.
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
-os.environ.setdefault("NEPTPU_DISABLE_X64", "1")  # f32 on the TPU bench path
-# Persistent XLA compile cache: the big scan/factor kernels dominate wall
-# time on a fresh process; the cache directory survives across bench
-# invocations.  NOTE: the harness sitecustomize imports jax at interpreter
-# start, so env vars are too late — set through jax.config.
+# x64 stays ENABLED: the mixed-precision refinement path needs f64 host/
+# device arrays; every chip kernel takes dtype=float32 explicitly.
 import jax  # noqa: E402  (before numpy: config must precede any tracing)
 
 jax.config.update(
@@ -48,6 +53,8 @@ if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
         os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _vmem).strip()
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def build_problem(n, m, seed=7):
@@ -113,104 +120,89 @@ def _with_deadline(fn, seconds):
         signal.signal(signal.SIGALRM, old)
 
 
-def bench_gun_time_to_tol(maxit=60, neigs=10, tol=1e-6, chunk=20):
-    """North-star #2: time-to-tol for k=10 eigenpairs on gun_like (n = 9956,
-    the gun dimension; PEP + two i*sqrt boundary terms) on the real chip.
+def _backward_errmeasure(mats, fv):
+    from neptpu.solvers.spmf_real import _spmf_host_resnorm, spmf_fun_scalars
 
-    The solve is the complex-as-real IAR (``solvers/spmf_real.py``): one
-    real 2n x 2n block LU + a chunked ``lax.scan`` over a mixed DIA+low-rank
-    term bank, with host Ritz peeks every ``chunk`` steps so the wall time
-    measures time TO TOLERANCE (backward error, StandardSPMF-style), not
-    time-to-maxit.  Returns a dict of extra keys for the bench JSON line.
-    """
-    import jax
+    fro = np.array([np.sqrt(np.abs(A.multiply(A.conj())).sum())
+                    for A in mats])
+    rn = _spmf_host_resnorm(mats, fv)
+
+    def err(lam, q):
+        return rn(lam, q) / float(np.abs(spmf_fun_scalars(fv, lam)) @ fro)
+
+    return err
+
+
+def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
+                      tol=1e-6, tol_refined=1e-9, chunk=20):
+    """Chip time-to-tolerance phase: complex-as-real IAR (partitioned
+    SPIKE+SMW shifted solve, one compiled scan) to ``tol`` backward error,
+    then mixed-precision per-pair Newton refinement (batched per-shift
+    factorization + f64-IR solves) to ``tol_refined``.  Wall time covers
+    EVERYTHING from gallery construction to refined pairs."""
     import jax.numpy as jnp
 
-    import neptpu
-    from neptpu.solvers.spmf_real import (_spmf_host_resnorm,
-                                          collect_spmf_terms, iar_real_spmf)
+    from neptpu.solvers.refine import newton_refine
+    from neptpu.solvers.spmf_real import collect_spmf_terms, iar_real_spmf
 
-    # the gallery ctor's aligned term bank only feeds host-side mirrors here
-    # (the TPU compute bank is rebuilt by iar_real_spmf) — keep its arrays on
-    # the host backend so the tunnel only carries the bank + LU that matter
+    t_start = time.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
-        nep = neptpu.nep_gallery("gun_like")
+        nep = make_nep()
     mats, fv = collect_spmf_terms(nep)
-    fro = np.array([np.sqrt(np.abs(A.multiply(A.conj())).sum()) for A in mats])
-    rn = _spmf_host_resnorm(mats, fv)
-    from neptpu.solvers.spmf_real import spmf_fun_scalars
+    backward = _backward_errmeasure(mats, fv)
 
-    def backward_err(lam, q):
-        scale = float(np.abs(spmf_fun_scalars(fv, lam)) @ fro)
-        return rn(lam, q) / scale
-
-    t0 = time.perf_counter()
     lams, Q, info = iar_real_spmf(
-        nep, sigma=2.0e4 + 100j, gamma=1.0e4, maxit=maxit, neigs=neigs,
-        tol=tol, check_error_every=chunk, errmeasure=backward_err,
+        nep, sigma=sigma, gamma=gamma, maxit=maxit, neigs=neigs,
+        tol=tol, check_error_every=chunk, errmeasure=backward,
         dtype=jnp.float32, return_info=True)
-    wall = time.perf_counter() - t0
+    t_iar_done = time.perf_counter()
+    lams, Q, errs = newton_refine(
+        mats, fv, lams, Q, nsweeps=3, tol=tol_refined, errmeasure=backward,
+        dtype=jnp.float32, ir=3, shift_rel=1e-8)
+    wall = time.perf_counter() - t_start
     return {
-        "gun_like_time_to_tol_s": round(wall, 3),
-        "gun_like_n": int(nep.n),
-        "gun_like_k_target": int(neigs),
-        "gun_like_converged": int(info["nconv"]),
-        "gun_like_tol_backward": tol,
-        "gun_like_k_done": int(info["k_done"]),
-        "gun_like_t_factorize_s": round(info["t_factorize"], 3),
-        "gun_like_t_scan_s": round(info["t_scan"], 3),
+        f"{key}_time_to_tol_s": round(wall, 3),
+        f"{key}_n": int(nep.n),
+        f"{key}_k_target": int(neigs),
+        f"{key}_converged": int(np.sum(errs < tol_refined)),
+        f"{key}_tol_backward": tol_refined,
+        f"{key}_max_err": float(f"{max(errs):.3g}") if len(errs) else None,
+        f"{key}_k_done": int(info["k_done"]),
+        f"{key}_t_factorize_s": round(info["t_factorize"], 3),
+        f"{key}_t_scan_s": round(info["t_scan"], 3),
+        f"{key}_t_refine_s": round(wall - (t_iar_done - t_start), 3),
     }
 
 
-def bench_wep_time_to_tol(maxit=80, neigs=10, tol=1e-5, chunk=20):
-    """North-star #2b: time-to-tol for k=10 eigenpairs of the JARLEBRING
-    waveguide (nx=109, nz=105, n=11655 — the reference's ``wep_small.jl``
-    oracle configuration) on the real chip.
-
-    Same machinery as the gun phase: the WEP's SPMF form (Q0/Q1/Q2 bulk
-    terms + 2*nz complex rank-one sqrt boundary terms, reference
-    ``waveguide/Waveguide.jl:324-379``) through the complex-as-real IAR with
-    the mixed DIA+low-rank bank and one real 2n x 2n block LU; host Ritz
-    peeks every ``chunk`` steps give true time-TO-tolerance."""
-    import jax
-    import jax.numpy as jnp
-
-    import neptpu
-    from neptpu.solvers.spmf_real import (_spmf_host_resnorm,
-                                          collect_spmf_terms, iar_real_spmf,
-                                          spmf_fun_scalars)
-
-    with jax.default_device(jax.devices("cpu")[0]):
-        nep = neptpu.nep_gallery("waveguide", nx=3 * 5 * 7 + 4, nz=3 * 5 * 7,
-                                 benchmark_problem="JARLEBRING", neptype="SPMF")
-    mats, fv = collect_spmf_terms(nep)
-    fro = np.array([np.sqrt(np.abs(A.multiply(A.conj())).sum()) for A in mats])
-    rn = _spmf_host_resnorm(mats, fv)
-
-    def backward_err(lam, q):
-        scale = float(np.abs(spmf_fun_scalars(fv, lam)) @ fro)
-        return rn(lam, q) / scale
-
-    t0 = time.perf_counter()
-    lams, Q, info = iar_real_spmf(
-        nep, sigma=-3 - 3.5j, maxit=maxit, neigs=neigs, tol=tol,
-        check_error_every=chunk, errmeasure=backward_err,
-        dtype=jnp.float32, return_info=True)
-    wall = time.perf_counter() - t0
-    return {
-        "wep_time_to_tol_s": round(wall, 3),
-        "wep_n": int(nep.n),
-        "wep_k_target": int(neigs),
-        "wep_converged": int(info["nconv"]),
-        "wep_tol_backward": tol,
-        "wep_k_done": int(info["k_done"]),
-        "wep_t_factorize_s": round(info["t_factorize"], 3),
-        "wep_t_scan_s": round(info["t_scan"], 3),
-    }
+def bench_cpu_ref(key, phase, budget):
+    """CPU float64 comparator in a SUBPROCESS (own backend/x64 config):
+    ``benchmarks/cpu_ref.py`` — complex128 host IAR + cached scipy splu,
+    same problem / k / tolerance protocol.  Records the wall time, or the
+    budget as a LOWER BOUND when the run exceeds its deadline."""
+    env = dict(os.environ)
+    env.pop("NEPTPU_DISABLE_X64", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "benchmarks", "cpu_ref.py"),
+             phase],
+            capture_output=True, text=True, timeout=budget, env=env,
+            cwd=REPO)
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                return {f"{key}_cpu_ref_s": d["cpu_ref_s"],
+                        f"{key}_cpu_ref_converged": d["converged"],
+                        f"{key}_cpu_ref_tol": d["tol_backward"]}
+            except (json.JSONDecodeError, KeyError):
+                continue
+        return {f"{key}_cpu_ref_error":
+                (out.stderr or "no JSON line")[-200:]}
+    except subprocess.TimeoutExpired:
+        return {f"{key}_cpu_ref_s": float(budget),
+                f"{key}_cpu_ref_timeout": True}
 
 
-def main():
-    import jax
+def bench_spmv(result, n_rep=5):
     import jax.numpy as jnp
 
     from neptpu.ops.dia import DiaTermBank
@@ -245,32 +237,83 @@ def main():
     def feed_only(W):  # chain scaffolding alone, for slope calibration
         return W + 1e-20 * W[:, :1]
 
+    step_dia = make_step(bank_dia)
     t_feed = chain_slope(feed_only, W0)
-    t_dia = max(chain_slope(make_step(bank_dia), W0) - t_feed, 1e-9)
+    rates = []
+    for _ in range(n_rep):
+        t_dia = max(chain_slope(step_dia, W0) - t_feed, 1e-9)
+        rates.append(nnz_total / t_dia)
+    rates = np.sort(np.array(rates))
+    med = float(np.median(rates))
     t_csr = max(chain_slope(make_step(bank_csr), W0) - t_feed, 1e-9)
+    csr_rate = nnz_total / t_csr
 
-    result = {
+    result.update({
         "metric": "fused_mlincomb_spmv_nnz_per_s_per_chip",
-        "value": float(f"{nnz_total / t_dia:.4g}"),
+        "value": float(f"{med:.4g}"),
         "unit": "nnz/s",
-        "vs_baseline": float(f"{t_csr / t_dia:.4g}"),
-    }
-    # Flush the primary metric IMMEDIATELY: the driver keeps the last complete
-    # JSON line, so anything printed here survives a later timeout/kill.
-    print(json.dumps(result), flush=True)
+        "vs_baseline": float(f"{med / csr_rate:.4g}"),
+        "spmv_repeats": int(n_rep),
+        "spmv_min": float(f"{rates[0]:.4g}"),
+        "spmv_max": float(f"{rates[-1]:.4g}"),
+    })
+    return result
+
+
+def main():
+    result = {}
     budget = int(os.environ.get("BENCH_PHASE_BUDGET_S", 280))
+    bench_spmv(result)
+    # Flush the primary metric IMMEDIATELY: the driver keeps the last
+    # complete JSON line, so anything printed here survives a later timeout.
+    print(json.dumps(result), flush=True)
+
+    phases = []
     if os.environ.get("BENCH_GUN", "1") != "0":
-        try:  # second north-star metric, merged into the same JSON line
-            result.update(_with_deadline(bench_gun_time_to_tol, budget))
-        except Exception as e:  # never lose the primary metric
-            result["gun_like_error"] = f"{type(e).__name__}: {e}"[:200]
-        print(json.dumps(result), flush=True)
+        phases += [
+            ("chip", "gun_like", dict(
+                key="gun_like",
+                make_nep=lambda: __import__("neptpu").nep_gallery("gun_like"),
+                sigma=2.0e4 + 100j, gamma=1.0e4, maxit=60, tol=1e-6)),
+            ("cpu", "gun_like", None),
+        ]
     if os.environ.get("BENCH_WEP", "1") != "0":
-        try:  # north-star #2b: the wep flagship config
-            result.update(_with_deadline(bench_wep_time_to_tol, budget))
-        except Exception as e:
-            result["wep_error"] = f"{type(e).__name__}: {e}"[:200]
+        phases += [
+            ("chip", "wep", dict(
+                key="wep",
+                make_nep=lambda: __import__("neptpu").nep_gallery(
+                    "waveguide", nx=109, nz=105,
+                    benchmark_problem="JARLEBRING", neptype="SPMF"),
+                sigma=-3 - 3.5j, maxit=80, tol=1e-5)),
+            ("cpu", "wep", None),
+        ]
+    if os.environ.get("BENCH_WEP_LARGE", "1") != "0":
+        phases += [
+            ("chip", "wep_large", dict(
+                key="wep_large",
+                make_nep=lambda: __import__("neptpu").nep_gallery(
+                    "waveguide", nx=119, nz=115,
+                    benchmark_problem="JARLEBRING", neptype="SPMF"),
+                sigma=-3 - 3.5j, maxit=80, tol=1e-5)),
+            ("cpu", "wep_large", None),
+        ]
+
+    for kind, key, cfg in phases:
+        try:
+            if kind == "chip":
+                result.update(_with_deadline(
+                    lambda: bench_time_to_tol(**cfg), budget))
+            else:
+                result.update(bench_cpu_ref(key, key, budget))
+        except Exception as e:  # never lose earlier phases
+            result[f"{key}_{kind}_error"] = f"{type(e).__name__}: {e}"[:200]
         print(json.dumps(result), flush=True)
+    # headline speedups, where both sides exist
+    for key in ("gun_like", "wep", "wep_large"):
+        a, b = result.get(f"{key}_time_to_tol_s"), result.get(f"{key}_cpu_ref_s")
+        if a and b:
+            result[f"{key}_speedup_vs_cpu_f64"] = float(f"{b / a:.3g}")
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

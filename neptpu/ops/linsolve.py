@@ -28,6 +28,8 @@ __all__ = [
     "LinSolver",
     "lin_solve",
     "FactorizeLinSolver",
+    "SparseFactorizeLinSolver",
+    "SparseFactorizeLinSolverCreator",
     "BackslashLinSolver",
     "GMRESLinSolver",
     "FactorizeLinSolverCreator",
@@ -99,6 +101,29 @@ class FactorizeLinSolver(LinSolver):
                 _lu_solve(self.lu, b.imag.astype(self.dtype)),
             )
         return _lu_solve(self.lu, b.astype(self.dtype))
+
+
+class SparseFactorizeLinSolver(LinSolver):
+    """scipy ``splu`` of the SPARSE M(lam) — the reference's UMFPACK role
+    verbatim (``LinSolvers.jl:109-137``), for host/CPU float64 reference
+    runs and for the bench's CPU comparator.  TPU paths use the dense-HBM
+    or partitioned solvers instead; this one never touches a device."""
+
+    def __init__(self, nep, lam):
+        import scipy.sparse.linalg as spla
+
+        from ..solvers.spmf_real import collect_spmf_terms, spmf_fun_scalars
+
+        mats, fv = collect_spmf_terms(nep)
+        w = spmf_fun_scalars(fv, complex(np.asarray(lam)))
+        M = None
+        for wi, A in zip(w, mats):
+            T = A.astype(complex) * wi
+            M = T if M is None else M + T
+        self.lu = spla.splu(M.tocsc())
+
+    def solve(self, b, tol=None):
+        return self.lu.solve(np.asarray(b, dtype=complex))
 
 
 class BackslashLinSolver(LinSolver):
@@ -250,6 +275,27 @@ class FactorizeLinSolverCreator(LinSolverCreator):
         solver = FactorizeLinSolver(nep, lam, self.umfpack_refinements)
         if self.max_factorizations != 0 and (
             self.max_factorizations < 0 or len(self.cache) < self.max_factorizations
+        ):
+            self.cache[key] = solver
+        return solver
+
+
+class SparseFactorizeLinSolverCreator(LinSolverCreator):
+    """Creator for :class:`SparseFactorizeLinSolver` with the same recycling
+    dict semantics as :class:`FactorizeLinSolverCreator`."""
+
+    def __init__(self, max_factorizations: int = 0):
+        self.max_factorizations = max_factorizations
+        self.cache = {}
+
+    def create(self, nep, lam):
+        key = complex(np.asarray(lam))
+        if key in self.cache:
+            return self.cache[key]
+        solver = SparseFactorizeLinSolver(nep, lam)
+        if self.max_factorizations != 0 and (
+            self.max_factorizations < 0
+            or len(self.cache) < self.max_factorizations
         ):
             self.cache[key] = solver
         return solver

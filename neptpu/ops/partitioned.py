@@ -94,19 +94,16 @@ def complex_lowrank_to_interleaved(Lc, Uc):
     return Ltil, Util
 
 
-@partial(jax.jit, static_argnames=("offsets", "p", "blk", "b", "mode"))
-def _factor_partitioned(strips, offsets, p, blk, b, mode):
-    """strips (ndiag, p*blk) -> per-partition factors + replicated reduced
-    inverse.  All partitions factored in one vmap batch.
+def _assemble_DBC(strips, offsets, p, blk, b):
+    """strips (ndiag, p*blk) -> block form D (p, blk, blk), B/C (p, blk, b).
 
-    The D/B/C assembly is ONE batched scatter over host-precomputed static
-    index lists (wide banks — the WEP carries 2nz+1 diagonals — would
-    otherwise unroll hundreds of diag ops and explode XLA compile time)."""
+    ONE batched scatter over host-precomputed static index lists (wide
+    banks — the WEP carries 2nz+1 diagonals — would otherwise unroll
+    hundreds of diag ops and explode XLA compile time).  Strip convention:
+    strip[j, r] = A[r, r + off_j], r the LOCAL row."""
     dt = strips.dtype
     s = strips.reshape(len(offsets), p, blk).transpose(1, 0, 2)  # (p,nd,blk)
 
-    # static scatter plans (numpy; baked into the program as constants).
-    # strip convention: strip[j, r] = A[r, r + off_j], r the LOCAL ROW.
     d_rows, d_cols, d_j = [], [], []
     b_rows, b_cols, b_j = [], [], []
     c_rows, c_cols, c_j = [], [], []
@@ -141,6 +138,15 @@ def _factor_partitioned(strips, offsets, p, blk, b, mode):
     dvec = jnp.arange(p)
     B = jnp.where((dvec == p - 1)[:, None, None], 0.0, B)
     C = jnp.where((dvec == 0)[:, None, None], 0.0, C)
+    return D, B, C
+
+
+@partial(jax.jit, static_argnames=("offsets", "p", "blk", "b", "mode"))
+def _factor_partitioned(strips, offsets, p, blk, b, mode):
+    """strips (ndiag, p*blk) -> per-partition factors + replicated reduced
+    inverse.  All partitions factored in one vmap batch."""
+    dt = strips.dtype
+    D, B, C = _assemble_DBC(strips, offsets, p, blk, b)
     if mode == "inv":
         Dinv = jnp.linalg.inv(D)  # batched; the hot-path solve is pure GEMM
         fac = Dinv
@@ -633,6 +639,361 @@ def build_spmf_shift_solver(mats, fv, sigma, dtype=jnp.float32, p=16,
         Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
         return InterleavedSMW(base, Ltil.astype(rdt), Util.astype(rdt))
     return InterleavedSMW(base)
+
+
+class ShiftPlan:
+    """Structure-frozen shift assembly.
+
+    :func:`assemble_shift_parts` re-classifies terms and re-splits the bulk
+    for every sigma (~0.7 s host work at WEP scale).  The STRUCTURE —
+    which terms are low-rank, the band offsets, the arrow border — depends
+    only on the sparsity patterns, so this plan computes it once over the
+    UNION bulk pattern and then produces ``(strips, offsets, Lc, Uc)`` for
+    any sigma by weight contraction: one einsum over stacked per-term
+    strips plus per-term scaling of the low-rank factors.  This is what
+    makes BATCHES of shifted factorizations (per-eigenvalue Newton
+    refinement, NLEIGS/contour node banks) cheap to assemble.
+    """
+
+    def __init__(self, mats, fv, max_rank=None):
+        import scipy.sparse as sp
+
+        from ..models.lowrank import low_rank_factors
+
+        seq = [sp.csr_matrix(A) if not sp.issparse(A) else A.tocsr()
+               for A in mats]
+        n = seq[0].shape[0]
+        self.n = n
+        self.fv = fv
+        if max_rank is None:
+            max_rank = max(32, n // 64)
+
+        def support(A):
+            coo = A.tocoo()
+            if coo.nnz == 0:
+                return 0
+            return min(len(np.unique(coo.row)), len(np.unique(coo.col)))
+
+        self.lr = []  # (term index, L, Uc) with A_i = L @ Uc^T
+        bulk_idx = []
+        union = None
+        for i, A in enumerate(seq):
+            if A.nnz == 0:
+                continue
+            if support(A) <= max_rank:
+                L, U = low_rank_factors(A)
+                self.lr.append((i, np.asarray(L).astype(complex),
+                                np.conj(np.asarray(U)).astype(complex)))
+            else:
+                bulk_idx.append(i)
+                P = sp.csr_matrix(
+                    (np.abs(A.data), A.indices, A.indptr), shape=A.shape)
+                union = P if union is None else union + P
+        self.bulk_idx = bulk_idx
+        self.ok = True
+        if union is None:  # no bulk: the banded base would be singular
+            self.ok = False
+            return
+        split = arrow_split(union, max_rank)
+        if split is None:
+            self.ok = False
+            return
+        band_u, factors_u = split
+        self.m = factors_u[0][1].shape[1] if factors_u else 0
+        # offsets of the union band (shared by every term's band part)
+        coo_u = band_u.tocoo()
+        offs = np.unique(coo_u.col - coo_u.row)
+        if 0 not in offs:
+            offs = np.sort(np.append(offs, 0))
+        self.offsets = tuple(int(o) for o in offs)
+        self.b = max((abs(o) for o in self.offsets), default=0)
+        m = self.m
+        # per-term band strips + border factors over the FROZEN structure
+        stack, X1s, Y2s = [], [], []
+        for i in bulk_idx:
+            coo = seq[i].tocoo()
+            d = coo.col - coo.row
+            inband = np.abs(d) <= self.b
+            strips = np.zeros((len(self.offsets), n), dtype=complex)
+            np.add.at(strips,
+                      (np.searchsorted(self.offsets, d[inband]),
+                       coo.row[inband]), coo.data[inband])
+            stack.append(strips)
+            if m:
+                X1 = np.zeros((n, m), dtype=complex)
+                Y2 = np.zeros((n, m), dtype=complex)
+                wide = ~inband
+                col_b = coo.col[wide] >= n - m
+                sel_w = wide.nonzero()[0][col_b]
+                X1[coo.row[sel_w], coo.col[sel_w] - (n - m)] = coo.data[sel_w]
+                sel_r = wide.nonzero()[0][~col_b]
+                Y2[coo.col[sel_r], coo.row[sel_r] - (n - m)] = coo.data[sel_r]
+                X1s.append(X1)
+                Y2s.append(Y2)
+        self.strips_stack = np.stack(stack) if stack else \
+            np.zeros((0, len(self.offsets), n))
+        self.X1s = np.stack(X1s) if m and X1s else None
+        self.Y2s = np.stack(Y2s) if m and Y2s else None
+
+    def parts(self, sigma):
+        """(strips, offsets, Lc, Uc) of M(sigma) — same contract as
+        :func:`assemble_shift_parts`, O(nnz) numpy."""
+        from ..solvers.spmf_real import spmf_fun_scalars
+
+        if not self.ok:
+            return None
+        w = spmf_fun_scalars(self.fv, sigma)
+        wb = w[self.bulk_idx] if self.bulk_idx else np.zeros(0, complex)
+        strips = np.tensordot(wb, self.strips_stack, axes=1) \
+            if len(wb) else np.zeros((len(self.offsets), self.n),
+                                     dtype=complex)
+        Ls = [w[i] * L for i, L, _ in self.lr]
+        Us = [U for _, _, U in self.lr]
+        n, m = self.n, self.m
+        if m:
+            sel = np.zeros((n, m), dtype=complex)
+            sel[n - m:, :] = np.eye(m)
+            X1 = np.tensordot(wb, self.X1s, axes=1)
+            Y2 = np.tensordot(wb, self.Y2s, axes=1)
+            if np.any(X1):
+                Ls.append(X1)
+                Us.append(sel)
+            if np.any(Y2):
+                Ls.append(sel)
+                Us.append(Y2)
+        Lc = np.hstack(Ls) if Ls else None
+        Uc = np.hstack(Us) if Us else None
+        return strips, list(self.offsets), Lc, Uc
+
+
+def _batched_setup_fn(offsets, p, blk, b, n2, mode, refine):
+    """vmapped factor+SMW setup over a leading shift axis; returns batched
+    solver leaves."""
+    aux = (offsets, p, blk, b, n2, mode)
+
+    def one(strips, Ltil, Util):
+        leaves = _factor_partitioned(strips, offsets, p, blk, b, mode)
+        fac, piv, V, W, r_fac, r_piv, DBC = leaves
+        base = PartitionedBandedSolver.tree_unflatten(
+            aux, (fac, piv, V, W, r_fac, r_piv, strips, DBC))
+        X = base.solve(Ltil)
+        K = jnp.eye(Util.shape[1], dtype=X.dtype) + Util.T @ X
+        if mode == "inv":
+            K_fac = jnp.linalg.inv(K)
+            K_piv = jnp.zeros((K.shape[0],), dtype=jnp.int32)
+        else:
+            K_fac, K_piv = jax.scipy.linalg.lu_factor(K)
+        return (fac, piv, V, W, r_fac, r_piv, DBC, X, K_fac, K_piv)
+
+    return jax.jit(jax.vmap(one))
+
+
+def _banded_mv64(D64, B64, C64, x, p, blk, b, n2):
+    """y = B x in true f64 (precision=HIGHEST GEMMs), x (n2[, k])."""
+    one_d = x.ndim == 1
+    if one_d:
+        x = x[:, None]
+    k = x.shape[1]
+    with jax.default_matmul_precision("highest"):
+        xp = jnp.zeros((p * blk, k), x.dtype).at[:n2].set(x)
+        xb = xp.reshape(p, blk, k)
+        y = D64 @ xb
+        y = y.at[:-1].add(B64[:-1] @ xb[1:, :b])
+        y = y.at[1:].add(C64[1:] @ xb[:-1, blk - b:])
+        y = y.reshape(p * blk, k)[:n2]
+    return y[:, 0] if one_d else y
+
+
+def _batched_setup_ir_fn(offsets, p, blk, b, n2, mode, ir):
+    """Mixed-precision vmapped setup: f32 block factorization, f64-IR base
+    solves, f64 SMW operands.  Returns batched leaves + the f64 capacitance
+    K (inverted on the HOST: K inherits the GLOBAL conditioning of
+    M(sigma) — at near-eigenvalue shifts kappa(K) ~ 1/dist, past what an
+    on-device f32-seeded inverse can recover — while the banded bulk alone
+    stays moderately conditioned and its f64-IR converges)."""
+    aux = (offsets, p, blk, b, n2, mode)
+
+    def one(strips64, Ltil64, Util64):
+        strips32 = strips64.astype(jnp.float32)
+        leaves = _factor_partitioned(strips32, offsets, p, blk, b, mode)
+        fac, piv, V, W, r_fac, r_piv, DBC = leaves
+        base = PartitionedBandedSolver.tree_unflatten(
+            aux, (fac, piv, V, W, r_fac, r_piv, strips32, DBC))
+        D64, B64, C64 = _assemble_DBC(strips64, offsets, p, blk, b)
+
+        def bsolve64(f):
+            x = base.solve(f.astype(jnp.float32)).astype(jnp.float64)
+            for _ in range(max(int(ir), 1)):
+                r = f - _banded_mv64(D64, B64, C64, x, p, blk, b, n2)
+                x = x + base.solve(r.astype(jnp.float32)).astype(jnp.float64)
+            return x
+
+        X64 = bsolve64(Ltil64)
+        with jax.default_matmul_precision("highest"):
+            K64 = jnp.eye(Util64.shape[1], dtype=jnp.float64) \
+                + Util64.T @ X64
+        return (fac, piv, V, W, r_fac, r_piv, DBC, D64, B64, C64, X64, K64)
+
+    return jax.jit(jax.vmap(one))
+
+
+def _batched_solve_ir_fn(offsets, p, blk, b, n2, mode, ir, ir_outer):
+    """Per-shift mixed-precision solve: f64-IR banded base + f64 SMW with
+    the host-inverted capacitance, plus ``ir_outer`` full-system f64 IR
+    sweeps."""
+    aux = (offsets, p, blk, b, n2, mode)
+
+    def one(leaves, zre, zim):
+        (fac, piv, V, W, r_fac, r_piv, DBC, D64, B64, C64, X64, Kinv64,
+         strips32, Ltil64, Util64) = leaves
+        base = PartitionedBandedSolver.tree_unflatten(
+            aux, (fac, piv, V, W, r_fac, r_piv, strips32, DBC))
+
+        def bsolve64(f):
+            x = base.solve(f.astype(jnp.float32)).astype(jnp.float64)
+            for _ in range(max(int(ir), 1)):
+                r = f - _banded_mv64(D64, B64, C64, x, p, blk, b, n2)
+                x = x + base.solve(r.astype(jnp.float32)).astype(jnp.float64)
+            return x
+
+        def full_solve(f):
+            g = bsolve64(f)
+            with jax.default_matmul_precision("highest"):
+                u = Kinv64 @ (Util64.T @ g)
+                return g - X64 @ u
+
+        def full_mv(x):
+            y = _banded_mv64(D64, B64, C64, x, p, blk, b, n2)
+            with jax.default_matmul_precision("highest"):
+                return y + Ltil64 @ (Util64.T @ x)
+
+        f = interleave_pair(zre.astype(jnp.float64), zim.astype(jnp.float64))
+        x = full_solve(f)
+        for _ in range(int(ir_outer)):
+            x = x + full_solve(f - full_mv(x))
+        return deinterleave_pair(x)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 1, 1), out_axes=1))
+
+
+class BatchedShiftSMW:
+    """A BATCH of :class:`InterleavedSMW` solvers, one per shift, factored
+    in a single vmapped program — the structure-exploiting analogue of
+    ``ops.linsolve.batched_lu_factor`` for the banded+low-rank class.
+
+    ``solve_pairs(Rre, Rim)``: (n, S) split-channel right-hand sides, pair
+    ``j`` solved against shift ``j``'s factorization (the per-eigenvalue
+    Newton-refinement contract); one jitted dispatch.
+    """
+
+    def __init__(self, mats, fv, sigmas, dtype=jnp.float32, p=16,
+                 mode="inv", plan=None, refine=1, ir=0):
+        rdt = np.dtype(dtype)
+        if np.issubdtype(rdt, np.complexfloating):
+            rdt = np.float64 if rdt == np.complex128 else np.float32
+        if plan is None:
+            plan = ShiftPlan(mats, fv)
+        if not plan.ok:
+            raise ValueError("bulk is neither banded nor arrow-splittable")
+        from ..parallel.spike import interleave_complex_banded
+
+        rs_list, Lt_list, Ut_list = [], [], []
+        roffs = None
+        for s in sigmas:
+            strips, offs, Lc, Uc = plan.parts(s)
+            rstrips, roffs = interleave_complex_banded(strips, offs)
+            rs_list.append(rstrips)
+            if Lc is None:
+                Lc = np.zeros((plan.n, 1), dtype=complex)
+                Uc = np.zeros((plan.n, 1), dtype=complex)
+            Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
+            Lt_list.append(Ltil)
+            Ut_list.append(Util)
+        n2 = rs_list[0].shape[1]
+        offsets = tuple(int(o) for o in roffs)
+        b = max(max((abs(o) for o in offsets), default=1), 1)
+        p = int(p)
+        blk = -(-n2 // p)
+        while blk < b:
+            p = max(p // 2, 1)
+            blk = -(-n2 // p)
+        pad_w = p * blk
+        main = offsets.index(0)
+        rs_pad = []
+        for rs in rs_list:
+            padr = np.zeros((rs.shape[0], pad_w), dtype=np.float64)
+            padr[:, :n2] = rs
+            padr[main, n2:] = 1.0
+            rs_pad.append(padr)
+        stack = np.stack(rs_pad)
+        Lt_stack, Ut_stack = np.stack(Lt_list), np.stack(Ut_list)
+        strips_b = jnp.asarray(stack.astype(rdt))
+        Ltil_b = jnp.asarray(Lt_stack.astype(rdt))
+        Util_b = jnp.asarray(Ut_stack.astype(rdt))
+        self.aux = (offsets, p, blk, b, n2, mode)
+        self.refine = int(refine)
+        # ir > 0: mixed-precision path — f32 block factorization, f64-IR
+        # banded base solves, f64 SMW with a HOST-inverted capacitance
+        # (kappa(K) ~ 1/dist-to-eigenvalue exceeds what on-device f32
+        # inverses can seed).  Requires x64 enabled.
+        self.ir = int(ir)
+        self.n = plan.n
+        self._solve = None
+        if self.ir:
+            setup = _batched_setup_ir_fn(offsets, p, blk, b, n2, mode, ir)
+            out = setup(jnp.asarray(stack), jnp.asarray(Lt_stack),
+                        jnp.asarray(Ut_stack))
+            (self.fac, self.piv, self.V, self.W, self.r_fac, self.r_piv,
+             self.DBC, self.D64, self.B64, self.C64, self.X64, K64) = out
+            K64_h = np.asarray(K64, dtype=np.float64)  # (S, 2R, 2R)
+            self.Kinv64 = jnp.asarray(np.linalg.inv(K64_h))
+            self.strips_b = jnp.asarray(stack.astype(np.float32))
+            self.Ltil64 = jnp.asarray(Lt_stack)
+            self.Util64 = jnp.asarray(Ut_stack)
+            jax.block_until_ready(self.fac)
+            return
+        setup = _batched_setup_fn(offsets, p, blk, b, n2, mode, refine)
+        out = setup(strips_b, Ltil_b, Util_b)
+        (self.fac, self.piv, self.V, self.W, self.r_fac, self.r_piv,
+         self.DBC, self.X, self.K_fac, self.K_piv) = out
+        self.strips_b = strips_b
+        self.Ltil_b, self.Util_b = Ltil_b, Util_b
+        jax.block_until_ready(self.fac)
+
+    def solve_pairs(self, Rre, Rim):
+        """Per-pair shifted solves: column j against shift j (one jitted
+        vmapped dispatch).  Rre/Rim: (n, S).  With ``ir`` set, the result
+        carries f64-quality accuracy from the f32 factorization."""
+        offsets, p, blk, b, n2, mode = self.aux
+        if self.ir:
+            if self._solve is None:
+                self._solve = _batched_solve_ir_fn(
+                    offsets, p, blk, b, n2, mode, self.ir, ir_outer=1)
+            leaves = (self.fac, self.piv, self.V, self.W, self.r_fac,
+                      self.r_piv, self.DBC, self.D64, self.B64, self.C64,
+                      self.X64, self.Kinv64, self.strips_b, self.Ltil64,
+                      self.Util64)
+            return self._solve(leaves, jnp.asarray(Rre, jnp.float64),
+                               jnp.asarray(Rim, jnp.float64))
+        if self._solve is None:
+            aux, refine = self.aux, self.refine
+
+            def one(leaves, zre, zim):
+                (fac, piv, V, W, r_fac, r_piv, strips, DBC,
+                 X, K_fac, K_piv, Ltil, Util) = leaves
+                base = PartitionedBandedSolver.tree_unflatten(
+                    aux, (fac, piv, V, W, r_fac, r_piv, strips, DBC))
+                smw = InterleavedSMW.tree_unflatten(
+                    (mode, refine), (base, X, Util, Ltil, K_fac, K_piv))
+                return smw.solve_pair(zre, zim)
+
+            self._solve = jax.jit(jax.vmap(one, in_axes=(0, 1, 1),
+                                           out_axes=1))
+        leaves = (self.fac, self.piv, self.V, self.W, self.r_fac,
+                  self.r_piv, self.strips_b, self.DBC, self.X, self.K_fac,
+                  self.K_piv, self.Ltil_b, self.Util_b)
+        dt = self.strips_b.dtype
+        return self._solve(leaves, jnp.asarray(Rre, dt), jnp.asarray(Rim, dt))
 
 
 def arrow_split(A, max_rank):

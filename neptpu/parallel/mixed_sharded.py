@@ -251,7 +251,8 @@ def _build_mixed_scan(mesh, axis, sb_cfg, spk_cfg, m, nterms, has_lr,
 
 def iar_real_spmf_sharded(nep, mesh, sigma=0.0, gamma=1.0, maxit=30,
                           neigs=6, tol=None, v=None, dtype=jnp.float64,
-                          axis="rows", errmeasure=None, return_info=False):
+                          axis="rows", errmeasure=None, return_info=False,
+                          cost_only=False):
     """Distributed complex-as-real IAR on a mixed-bank SPMF (gun/WEP class).
 
     Same contract as :func:`neptpu.solvers.spmf_real.iar_real_spmf`, with
@@ -329,8 +330,7 @@ def iar_real_spmf_sharded(nep, mesh, sigma=0.0, gamma=1.0, maxit=30,
                             sbank.Lr is not None, sbank.Li is not None,
                             has_lowrank)
     zero = jnp.zeros((), dtype=rdt)
-    t0 = time.perf_counter()
-    Vre, Vim, Hre, Him = run(
+    args = (
         sbank.sdia.data.astype(dt),
         sbank.Lr if sbank.Lr is not None else zero,
         sbank.Ur if sbank.Ur is not None else zero,
@@ -342,6 +342,35 @@ def iar_real_spmf_sharded(nep, mesh, sigma=0.0, gamma=1.0, maxit=30,
         spike.r_lu[0], spike.r_lu[1],
         X_s, Util_s, Kinv,
         v0re, v0im)
+    if cost_only:
+        # compile (don't run) and report MEASURED flops/bytes plus the
+        # exact per-step communication byte counts implied by the program's
+        # own static config — the grounding for the multi-chip scaling
+        # model (virtual CPU meshes cannot measure ICI).
+        compiled = jax.jit(run).lower(*args).compile()
+        ca = compiled.cost_analysis() or {}
+        isz = np.dtype(dt).itemsize
+        n_main = len(sbank.main_idx)
+        halo_b = (sbank.sdia.halo_lo + sbank.sdia.halo_hi) * n_main * isz * 2
+        Rr = 0 if sbank.Ur is None else int(np.asarray(sbank.Ur).shape[-1])
+        Ri = 0 if sbank.Ui is None else int(np.asarray(sbank.Ui).shape[-1])
+        psum_lr_b = 2 * (2 * Rr + 2 * Ri) * isz
+        R2 = 0 if not has_lowrank else int(np.asarray(Util_s).shape[-1])
+        spike_b = (2 * spike.b * ndev + R2) * isz
+        dgks_b = 2 * (4 * (m + 1) + 1) * isz
+        return {
+            "flops_total": float(ca.get("flops", 0.0)),
+            "bytes_total": float(ca.get("bytes accessed", 0.0)),
+            "steps": m,
+            "comm_per_step_per_dev_bytes": {
+                "halo": halo_b, "lowrank_psum": psum_lr_b,
+                "spike_gather": spike_b, "dgks_psum": dgks_b,
+            },
+            "ndev": ndev, "n": n, "blk": blk, "b": int(spike.b),
+            "t_factorize": t_fact,
+        }
+    t0 = time.perf_counter()
+    Vre, Vim, Hre, Him = run(*args)
     Hre_h = np.asarray(Hre, dtype=np.float64)
     Him_h = np.asarray(Him, dtype=np.float64)
     t_scan = time.perf_counter() - t0

@@ -279,6 +279,7 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
         sigma=sigma, gamma=gamma, neigs=neigs, tol=tol, resnorm=rn, n=n,
         check_error_every=check_error_every, scaled=scaled, theta=theta)
     info["t_factorize"] = t_fact
+    info["solver"] = lu_piv  # reusable by resinv_refine / further calls
     if return_info:
         return lams, Q, info
     return lams, Q
