@@ -156,6 +156,11 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
         tol=tol, check_error_every=chunk, errmeasure=backward,
         dtype=jnp.float32, return_info=True)
     t_iar_done = time.perf_counter()
+    # free the IAR solver + basis HBM before the batched refine factors
+    import gc
+
+    info.pop("solver", None)
+    gc.collect()
     lams, Q, errs = newton_refine(
         mats, fv, lams, Q, nsweeps=3, tol=tol_refined, errmeasure=backward,
         dtype=jnp.float32, ir=3, shift_rel=1e-8)

@@ -785,27 +785,35 @@ def _batched_setup_fn(offsets, p, blk, b, n2, mode, refine):
             K_fac, K_piv = jax.scipy.linalg.lu_factor(K)
         return (fac, piv, V, W, r_fac, r_piv, DBC, X, K_fac, K_piv)
 
-    return jax.jit(jax.vmap(one))
+    # sequential over shifts: a vmapped batched inverse materializes every
+    # LU panel temp for every shift at once (OOM at gun scale)
+    return jax.jit(lambda s, lt, ut: jax.lax.map(
+        lambda t: one(*t), (s, lt, ut)))
 
 
-def _banded_mv64(D64, B64, C64, x, p, blk, b, n2):
-    """y = B x in true f64 (precision=HIGHEST GEMMs), x (n2[, k])."""
+def _banded_mv64(D64, B64, C64, x, nblk, bt, n2):
+    """y = B x in true f64 (precision=HIGHEST GEMMs) through the
+    BLOCK-TRIDIAGONAL form (block size bt = half-bandwidth): stores only
+    3 n2 bt entries — the memory-optimal dense-block representation of the
+    band (a (p, n2/p) partition block form is mostly zeros).  x (n2[, k])."""
     one_d = x.ndim == 1
     if one_d:
         x = x[:, None]
     k = x.shape[1]
     with jax.default_matmul_precision("highest"):
-        xp = jnp.zeros((p * blk, k), x.dtype).at[:n2].set(x)
-        xb = xp.reshape(p, blk, k)
+        xp = jnp.zeros((nblk * bt, k), x.dtype).at[:n2].set(x)
+        xb = xp.reshape(nblk, bt, k)
         y = D64 @ xb
-        y = y.at[:-1].add(B64[:-1] @ xb[1:, :b])
-        y = y.at[1:].add(C64[1:] @ xb[:-1, blk - b:])
-        y = y.reshape(p * blk, k)[:n2]
+        y = y.at[:-1].add(B64[:-1] @ xb[1:])
+        y = y.at[1:].add(C64[1:] @ xb[:-1])
+        y = y.reshape(nblk * bt, k)[:n2]
     return y[:, 0] if one_d else y
 
 
-def _batched_setup_ir_fn(offsets, p, blk, b, n2, mode, ir):
-    """Mixed-precision vmapped setup: f32 block factorization, f64-IR base
+def _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir):
+    """Mixed-precision setup, SEQUENTIAL over shifts (lax.map — a vmapped
+    batched inverse materializes every LU panel temp for every shift at
+    once and OOMs HBM at gun scale): f32 block factorization, f64-IR base
     solves, f64 SMW operands.  Returns batched leaves + the f64 capacitance
     K (inverted on the HOST: K inherits the GLOBAL conditioning of
     M(sigma) — at near-eigenvalue shifts kappa(K) ~ 1/dist, past what an
@@ -813,64 +821,77 @@ def _batched_setup_ir_fn(offsets, p, blk, b, n2, mode, ir):
     stays moderately conditioned and its f64-IR converges)."""
     aux = (offsets, p, blk, b, n2, mode)
 
-    def one(strips64, Ltil64, Util64):
-        strips32 = strips64.astype(jnp.float32)
-        leaves = _factor_partitioned(strips32, offsets, p, blk, b, mode)
-        fac, piv, V, W, r_fac, r_piv, DBC = leaves
-        base = PartitionedBandedSolver.tree_unflatten(
-            aux, (fac, piv, V, W, r_fac, r_piv, strips32, DBC))
-        D64, B64, C64 = _assemble_DBC(strips64, offsets, p, blk, b)
-
-        def bsolve64(f):
-            x = base.solve(f.astype(jnp.float32)).astype(jnp.float64)
-            for _ in range(max(int(ir), 1)):
-                r = f - _banded_mv64(D64, B64, C64, x, p, blk, b, n2)
-                x = x + base.solve(r.astype(jnp.float32)).astype(jnp.float64)
-            return x
-
-        X64 = bsolve64(Ltil64)
+    def one(strips32, strips64bt, Ltil64, Util64):
+        # the WHOLE body runs at matmul precision=highest: on TPU the
+        # default demotes f32 GEMMs to single-pass bf16, and a bf16-quality
+        # base solve makes the f64 iterative refinement DIVERGE
+        # (kappa * eps_bf16 > 1 at gun/WEP conditioning)
         with jax.default_matmul_precision("highest"):
+            leaves = _factor_partitioned(strips32, offsets, p, blk, b, mode)
+            fac, piv, V, W, r_fac, r_piv, DBC = leaves
+            base = PartitionedBandedSolver.tree_unflatten(
+                aux, (fac, piv, V, W, r_fac, r_piv, strips32, DBC))
+            D64, B64, C64 = _assemble_DBC(strips64bt, offsets, nblk, bt, bt)
+
+            def bsolve64(f):
+                x = base.solve(f.astype(jnp.float32)).astype(jnp.float64)
+                for _ in range(max(int(ir), 1)):
+                    r = f - _banded_mv64(D64, B64, C64, x, nblk, bt, n2)
+                    x = x + base.solve(
+                        r.astype(jnp.float32)).astype(jnp.float64)
+                return x
+
+            X64 = bsolve64(Ltil64)
             K64 = jnp.eye(Util64.shape[1], dtype=jnp.float64) \
                 + Util64.T @ X64
-        return (fac, piv, V, W, r_fac, r_piv, DBC, D64, B64, C64, X64, K64)
+        # DBC (dense f32 partition blocks, ~2 GB at gun scale) is NOT
+        # returned: the ir solve path never calls the f32 matvec
+        return (fac, piv, V, W, r_fac, r_piv, D64, B64, C64, X64, K64)
 
-    return jax.jit(jax.vmap(one))
+    return jax.jit(lambda s32, s64, lt, ut: jax.lax.map(
+        lambda t: one(*t), (s32, s64, lt, ut)))
 
 
-def _batched_solve_ir_fn(offsets, p, blk, b, n2, mode, ir, ir_outer):
+def _batched_solve_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir,
+                         ir_outer):
     """Per-shift mixed-precision solve: f64-IR banded base + f64 SMW with
     the host-inverted capacitance, plus ``ir_outer`` full-system f64 IR
     sweeps."""
     aux = (offsets, p, blk, b, n2, mode)
 
     def one(leaves, zre, zim):
-        (fac, piv, V, W, r_fac, r_piv, DBC, D64, B64, C64, X64, Kinv64,
+        (fac, piv, V, W, r_fac, r_piv, D64, B64, C64, X64, Kinv64,
          strips32, Ltil64, Util64) = leaves
+        # DBC dummy: the solve path never touches the f32 matvec blocks
+        dummy = jnp.zeros((1, 1, 1), dtype=jnp.float32)
         base = PartitionedBandedSolver.tree_unflatten(
-            aux, (fac, piv, V, W, r_fac, r_piv, strips32, DBC))
+            aux, (fac, piv, V, W, r_fac, r_piv, strips32,
+                  (dummy, dummy, dummy)))
 
         def bsolve64(f):
             x = base.solve(f.astype(jnp.float32)).astype(jnp.float64)
             for _ in range(max(int(ir), 1)):
-                r = f - _banded_mv64(D64, B64, C64, x, p, blk, b, n2)
+                r = f - _banded_mv64(D64, B64, C64, x, nblk, bt, n2)
                 x = x + base.solve(r.astype(jnp.float32)).astype(jnp.float64)
             return x
 
         def full_solve(f):
             g = bsolve64(f)
-            with jax.default_matmul_precision("highest"):
-                u = Kinv64 @ (Util64.T @ g)
-                return g - X64 @ u
+            u = Kinv64 @ (Util64.T @ g)
+            return g - X64 @ u
 
         def full_mv(x):
-            y = _banded_mv64(D64, B64, C64, x, p, blk, b, n2)
-            with jax.default_matmul_precision("highest"):
-                return y + Ltil64 @ (Util64.T @ x)
+            y = _banded_mv64(D64, B64, C64, x, nblk, bt, n2)
+            return y + Ltil64 @ (Util64.T @ x)
 
-        f = interleave_pair(zre.astype(jnp.float64), zim.astype(jnp.float64))
-        x = full_solve(f)
-        for _ in range(int(ir_outer)):
-            x = x + full_solve(f - full_mv(x))
+        # matmul precision=highest throughout: the TPU default demotes f32
+        # GEMMs to single-pass bf16, which makes the f64 IR diverge
+        with jax.default_matmul_precision("highest"):
+            f = interleave_pair(zre.astype(jnp.float64),
+                                zim.astype(jnp.float64))
+            x = full_solve(f)
+            for _ in range(int(ir_outer)):
+                x = x + full_solve(f - full_mv(x))
         return deinterleave_pair(x)
 
     return jax.jit(jax.vmap(one, in_axes=(0, 1, 1), out_axes=1))
@@ -886,7 +907,7 @@ class BatchedShiftSMW:
     Newton-refinement contract); one jitted dispatch.
     """
 
-    def __init__(self, mats, fv, sigmas, dtype=jnp.float32, p=16,
+    def __init__(self, mats, fv, sigmas, dtype=jnp.float32, p=8,
                  mode="inv", plan=None, refine=1, ir=0):
         rdt = np.dtype(dtype)
         if np.issubdtype(rdt, np.complexfloating):
@@ -940,11 +961,20 @@ class BatchedShiftSMW:
         self.n = plan.n
         self._solve = None
         if self.ir:
-            setup = _batched_setup_ir_fn(offsets, p, blk, b, n2, mode, ir)
-            out = setup(jnp.asarray(stack), jnp.asarray(Lt_stack),
+            # block-tridiagonal f64 form for the IR residual matvec
+            bt = int(b)
+            nblk = -(-n2 // bt)
+            self.btdims = (nblk, bt)
+            s64bt = np.zeros((len(rs_list), len(offsets), nblk * bt))
+            for i, rs in enumerate(rs_list):
+                s64bt[i, :, :n2] = rs
+            setup = _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt,
+                                         mode, ir)
+            out = setup(jnp.asarray(stack.astype(np.float32)),
+                        jnp.asarray(s64bt), jnp.asarray(Lt_stack),
                         jnp.asarray(Ut_stack))
             (self.fac, self.piv, self.V, self.W, self.r_fac, self.r_piv,
-             self.DBC, self.D64, self.B64, self.C64, self.X64, K64) = out
+             self.D64, self.B64, self.C64, self.X64, K64) = out
             K64_h = np.asarray(K64, dtype=np.float64)  # (S, 2R, 2R)
             self.Kinv64 = jnp.asarray(np.linalg.inv(K64_h))
             self.strips_b = jnp.asarray(stack.astype(np.float32))
@@ -967,10 +997,12 @@ class BatchedShiftSMW:
         offsets, p, blk, b, n2, mode = self.aux
         if self.ir:
             if self._solve is None:
+                nblk, bt = self.btdims
                 self._solve = _batched_solve_ir_fn(
-                    offsets, p, blk, b, n2, mode, self.ir, ir_outer=1)
+                    offsets, p, blk, b, n2, nblk, bt, mode, self.ir,
+                    ir_outer=1)
             leaves = (self.fac, self.piv, self.V, self.W, self.r_fac,
-                      self.r_piv, self.DBC, self.D64, self.B64, self.C64,
+                      self.r_piv, self.D64, self.B64, self.C64,
                       self.X64, self.Kinv64, self.strips_b, self.Ltil64,
                       self.Util64)
             return self._solve(leaves, jnp.asarray(Rre, jnp.float64),
