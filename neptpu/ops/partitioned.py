@@ -34,6 +34,7 @@ Reference roles covered: the cached UMFPACK factorization
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -766,6 +767,7 @@ class ShiftPlan:
         return strips, list(self.offsets), Lc, Uc
 
 
+@functools.lru_cache(maxsize=32)
 def _batched_setup_fn(offsets, p, blk, b, n2, mode, refine):
     """vmapped factor+SMW setup over a leading shift axis; returns batched
     solver leaves."""
@@ -810,6 +812,7 @@ def _banded_mv64(D64, B64, C64, x, nblk, bt, n2):
     return y[:, 0] if one_d else y
 
 
+@functools.lru_cache(maxsize=32)
 def _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir):
     """Mixed-precision setup, SEQUENTIAL over shifts (lax.map — a vmapped
     batched inverse materializes every LU panel temp for every shift at
@@ -852,6 +855,7 @@ def _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir):
         lambda t: one(*t), (s32, s64, lt, ut)))
 
 
+@functools.lru_cache(maxsize=32)
 def _batched_solve_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir,
                          ir_outer):
     """Per-shift mixed-precision solve: f64-IR banded base + f64 SMW with

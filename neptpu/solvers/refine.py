@@ -57,7 +57,8 @@ def spmf_fun_derivs(fv, lam, k=2):
 
 def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
                   errmeasure=None, dtype=None, p=16, bsolver=None,
-                  plan=None, ir=0, shift_rel=1e-6, return_solver=False):
+                  plan=None, ir=0, shift_rel=1e-8, return_solver=False,
+                  _second_pass=False):
     """Per-pair nonlinear inverse iteration against a BATCHED per-shift
     factorization — reference-class floors (1e-10+) from f32 chip solves.
 
@@ -84,15 +85,21 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
     csr = [A.tocsr() for A in mats]
     if dtype is None:
         dtype = jnp.float32
+    sig_f = lams + 1j * shift_rel * np.maximum(np.abs(lams), 1.0)
     if bsolver is None:
         # factor at OFFSET shifts: an eigenvalue-accurate shift makes
         # M(lam_j) singular to ~the backward error, and the f32-correction
         # IR diverges once kappa*eps_f32 > 1.  A relative offset of
         # ``shift_rel`` bounds kappa at ~1/shift_rel while the per-sweep
         # contraction (offset/gap) stays tiny.
-        sig_f = lams + 1j * shift_rel * np.maximum(np.abs(lams), 1.0)
         bsolver = BatchedShiftSMW(mats, fv, sig_f, dtype=dtype, p=p,
                                   plan=plan, ir=ir)
+    # validate every shift's solve with one random probe (host f64
+    # residual): the mixed-precision SPIKE+SMW chain can still lose a shift
+    # whose BANDED bulk alone is near-singular (kappa(B(sigma)) past the
+    # f32-seeded IR radius); those shifts fall back to a host splu — exact,
+    # and cheap for banded+low-rank sparsity
+    fallback = _validate_shifts(csr, fv, sig_f, bsolver)
 
     def meas(lam, q):
         if errmeasure is not None:
@@ -133,6 +140,8 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         yre, yim = bsolver.solve_pairs(R.real, R.imag)
         Y = np.asarray(yre, dtype=np.float64) \
             + 1j * np.asarray(yim, dtype=np.float64)
+        for j, lu in fallback.items():
+            Y[:, j] = lu.solve(R[:, j])
         newQ = Y / np.linalg.norm(Y, axis=0, keepdims=True)
         for j in range(k):
             # accept the best of (new lam, new q) / (old lam, new q) /
@@ -145,9 +154,50 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
                     Q[:, j] = qq
                     errs[j] = e
                     break
+    # stragglers (a pair whose first-pass shift was too far off — e.g. a
+    # near-degenerate cluster) get ONE more pass with a FRESH factorization
+    # at their now-much-better eigenvalue estimates
+    if (tol is not None and not _second_pass and np.any(errs >= tol)
+            and np.any(errs < tol)):
+        bad = np.nonzero(errs >= tol)[0]
+        lb, Qb, eb = newton_refine(
+            mats, fv, lams[bad], Q[:, bad], nsweeps=nsweeps, tol=tol,
+            errmeasure=errmeasure, dtype=dtype, p=p, plan=plan, ir=ir,
+            shift_rel=shift_rel, _second_pass=True)
+        for t, j in enumerate(bad):
+            if eb[t] < errs[j]:
+                lams[j], Q[:, j], errs[j] = lb[t], Qb[:, t], eb[t]
     if return_solver:
         return lams, Q, errs, bsolver
     return lams, Q, errs
+
+
+def _validate_shifts(csr, fv, sig_f, bsolver, rel_tol=1e-6, seed=123):
+    """One random-probe solve per shift; shifts whose host-f64 residual
+    exceeds ``rel_tol`` get a scipy splu fallback (dict: index -> splu)."""
+    import scipy.sparse.linalg as spla
+
+    n = csr[0].shape[0]
+    k = len(sig_f)
+    rng = np.random.default_rng(seed)
+    probe = rng.standard_normal((n, k))
+    yre, yim = bsolver.solve_pairs(probe, np.zeros_like(probe))
+    Y = np.asarray(yre, dtype=np.float64) \
+        + 1j * np.asarray(yim, dtype=np.float64)
+    fallback = {}
+    for j in range(k):
+        w = spmf_fun_derivs(fv, sig_f[j], 1)[:, 0]
+        My = np.zeros(n, dtype=complex)
+        for wi, A in zip(w, csr):
+            My += wi * (A @ Y[:, j])
+        rel = np.linalg.norm(My - probe[:, j]) / np.linalg.norm(probe[:, j])
+        if not np.isfinite(rel) or rel > rel_tol:
+            M = None
+            for wi, A in zip(w, csr):
+                T = A.astype(complex) * wi
+                M = T if M is None else M + T
+            fallback[j] = spla.splu(M.tocsc())
+    return fallback
 
 
 def resinv_refine(mats, fv, solver, lams, Q, *, nsweeps=3, tol=None,
