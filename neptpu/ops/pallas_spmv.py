@@ -78,29 +78,37 @@ def _dia_kernel(offsets, BR, Ppad, nblk, acc_dtype):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(d_ref, w_hbm, y_ref, w_scr, sems):
-        i = pl.program_id(0)
-        nb = pl.num_programs(0)
+        # every index expression pinned to int32: under jax_enable_x64 a
+        # python-int constant traces as i64 and Mosaic's tpu.memref_slice
+        # rejects 64-bit dynamic starts
+        i = jnp.int32(pl.program_id(0))
+        nb = jnp.int32(pl.num_programs(0))
+        one = jnp.int32(1)
         two = jnp.int32(2)
+        zero = jnp.int32(0)
+        brw = jnp.int32(BR)
         slot = jax.lax.rem(i, two)
 
         # manual double buffering of the operand window (halo on both sides)
-        @pl.when(i == 0)
+        @pl.when(i == zero)
         def _():
             pltpu.make_async_copy(
-                w_hbm.at[:, pl.ds(0, BR + 2 * Ppad)], w_scr.at[0], sems.at[0]
+                w_hbm.at[:, pl.ds(zero, BR + 2 * Ppad)], w_scr.at[0],
+                sems.at[0]
             ).start()
 
-        @pl.when(i + 1 < nb)
+        @pl.when(i + one < nb)
         def _():
-            nxt = jax.lax.rem(i + 1, two)
+            nxt = jax.lax.rem(i + one, two)
             pltpu.make_async_copy(
-                w_hbm.at[:, pl.ds((i + 1) * BR, BR + 2 * Ppad)],
+                w_hbm.at[:, pl.ds((i + one) * brw, BR + 2 * Ppad)],
                 w_scr.at[nxt],
                 sems.at[nxt],
             ).start()
 
         pltpu.make_async_copy(
-            w_hbm.at[:, pl.ds(i * BR, BR + 2 * Ppad)], w_scr.at[slot], sems.at[slot]
+            w_hbm.at[:, pl.ds(i * brw, BR + 2 * Ppad)], w_scr.at[slot],
+            sems.at[slot]
         ).wait()
 
         acc = jnp.zeros((1, BR), dtype=acc_dtype)
@@ -135,23 +143,29 @@ def dia_lincomb_pallas_padded(D, offsets, WT, block_rows: int = _DEFAULT_BLOCK_R
     acc_dtype = jnp.float32 if dt == jnp.bfloat16 else dt
 
     kernel = _dia_kernel(offsets, BR, Ppad, nblk, acc_dtype)
-    y = pl.pallas_call(
-        kernel,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((ndiag, m, BR), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, npad), acc_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, m, BR + 2 * Ppad), dt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(D.astype(dt), WT.astype(dt))
+    # trace the kernel with x64 OFF: under jax_enable_x64, python-int index
+    # constants trace as i64 and Mosaic's tpu.memref_slice rejects 64-bit
+    # dynamic starts (operands are f32/bf16 — value semantics unaffected)
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((ndiag, m, BR), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, BR), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, npad), acc_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, m, BR + 2 * Ppad), dt),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(D.astype(dt), WT.astype(dt))
     nout = npad if out_rows is None else out_rows
     return y[0, :nout]
 

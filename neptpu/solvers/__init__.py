@@ -25,6 +25,7 @@ from .ilan import ilan
 from .iar_chebyshev import iar_chebyshev
 from .iar_jit import iar_jitted, iar_scan_kernel
 from .iar_real import iar_real, iar_real_scan, dep_shift_block_lu
+from .refine import newton_refine, resinv_refine
 from .spmf_real import iar_real_spmf, iar_real_spmf_deflated
 from .tiar_jit import tiar_jitted, tiar_jitted_spmf
 from .aaa import AAAeigs, svAAA, get_prz
@@ -48,6 +49,8 @@ __all__ = [
     "iar_real_scan",
     "iar_real_spmf",
     "iar_real_spmf_deflated",
+    "newton_refine",
+    "resinv_refine",
     "tiar_jitted",
     "tiar_jitted_spmf",
     "dep_shift_block_lu",

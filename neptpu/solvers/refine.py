@@ -55,10 +55,28 @@ def spmf_fun_derivs(fv, lam, k=2):
     return D
 
 
+def _refine_batch_limit(plan, p=8, budget_bytes=5.5e9):
+    """Largest shift-batch whose solver state fits the HBM budget.
+
+    Per-shift footprint of :class:`BatchedShiftSMW` (ir mode): f32 block
+    inverses + reduced inverse, f64 block-tridiag matvec form, f64 SMW
+    operands (X, Ltil, Util)."""
+    n2 = 2 * plan.n
+    b2 = 2 * max(plan.b, 1) + 1
+    blk = -(-n2 // p)
+    rank = sum(L.shape[1] for _, L, _ in plan.lr) + 2 * plan.m
+    R2 = max(2 * rank, 2)
+    per = (4 * (p * blk * blk + (2 * b2 * p) ** 2)      # fac + reduced
+           + 8 * 3 * n2 * b2                            # D64/B64/C64
+           + 8 * 3 * n2 * R2                            # X64, Ltil64, Util64
+           + 12 * n2 * b2)                              # strips (f32 + f64)
+    return max(1, int(budget_bytes // per))
+
+
 def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
                   errmeasure=None, dtype=None, p=16, bsolver=None,
                   plan=None, ir=0, shift_rel=1e-8, return_solver=False,
-                  _second_pass=False):
+                  max_batch=None, _second_pass=False):
     """Per-pair nonlinear inverse iteration against a BATCHED per-shift
     factorization — reference-class floors (1e-10+) from f32 chip solves.
 
@@ -85,6 +103,34 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
     csr = [A.tocsr() for A in mats]
     if dtype is None:
         dtype = jnp.float32
+    # memory-aware chunking: at WEP scale each shift's solver state is
+    # ~1 GB of HBM; process the pairs in batches that fit, each batch with
+    # its OWN factorization (built, used for all sweeps, freed)
+    if bsolver is None and not _second_pass:
+        from ..ops.partitioned import ShiftPlan
+
+        if plan is None:
+            plan = ShiftPlan(mats, fv)
+        if max_batch is None:
+            max_batch = _refine_batch_limit(plan, p=min(p, 8))
+        if k > max_batch:
+            import gc
+
+            # even chunk sizes (5+5, not 9+1): fewer distinct batch shapes
+            # means fewer compiled program variants
+            nchunks = -(-k // max_batch)
+            max_batch = -(-k // nchunks)
+            errs = np.zeros(k)
+            for s0 in range(0, k, max_batch):
+                sl = slice(s0, min(s0 + max_batch, k))
+                lams[sl], Q[:, sl], errs[sl] = newton_refine(
+                    mats, fv, lams[sl], Q[:, sl], nsweeps=nsweeps, tol=tol,
+                    errmeasure=errmeasure, dtype=dtype, p=p, plan=plan,
+                    ir=ir, shift_rel=shift_rel, max_batch=max_batch)
+                gc.collect()
+            if return_solver:
+                return lams, Q, errs, None
+            return lams, Q, errs
     sig_f = lams + 1j * shift_rel * np.maximum(np.abs(lams), 1.0)
     if bsolver is None:
         # factor at OFFSET shifts: an eigenvalue-accurate shift makes

@@ -74,6 +74,31 @@ def test_gun_like_chip_path_hits_pinned_oracle():
 
 
 @pytest.mark.slow
+def test_gun_like_refined_to_reference_tolerance():
+    """The bench protocol end-to-end: f32 chip-dtype IAR to backward 1e-6,
+    then mixed-precision newton_refine to <= 1e-9 — the reference's
+    gun-oracle tolerance class (``gun_native.jl:9-19``: tol 1e-11, assert
+    ||lam - lam_ref|| < sqrt(tol)*100).  10/10 pairs must clear 1e-9 and
+    match pinned values."""
+    from neptpu.solvers.refine import newton_refine
+
+    nep = neptpu.nep_gallery("gun_like")
+    mats, fv = collect_spmf_terms(nep)
+    meas = _backward_errmeasure(mats, fv)
+    lams, Q = iar_real_spmf(
+        nep, sigma=SIGMA, gamma=GAMMA, maxit=60, neigs=10, tol=1e-6,
+        check_error_every=20, dtype=jnp.float32, errmeasure=meas)
+    lams, Q, errs = newton_refine(
+        mats, fv, np.array(lams, complex), np.array(Q, complex),
+        nsweeps=3, tol=1e-10, errmeasure=meas, dtype=jnp.float32,
+        ir=3, shift_rel=1e-8)
+    assert int(np.sum(errs < 1e-9)) >= 10, errs
+    matched = sum(1 for la in lams
+                  if np.min(np.abs(la - GUN_LIKE_PINNED)) / abs(la) < 1e-9)
+    assert matched >= 10, (matched, lams)
+
+
+@pytest.mark.slow
 def test_gun_like_f32_path_near_pinned_oracle():
     """The f32 (chip-dtype) path with the theta-scaled table and the
     partitioned inv+refine solve: >= 10 pairs within f32 accuracy of the

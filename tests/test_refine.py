@@ -116,6 +116,20 @@ def test_newton_refine_reaches_reference_floor(wep_small):
     assert np.max(np.abs(lams2 - np.asarray(lams))) < 1e-2
 
 
+def test_newton_refine_chunked_matches_unchunked(wep_small):
+    """Memory-aware chunking (max_batch) must not change the result class:
+    every pair still reaches the tolerance floor."""
+    nep, mats, fv, backward = wep_small
+    lams, Q = iar_real_spmf(nep, sigma=-3 - 3.5j, maxit=18, neigs=4,
+                            tol=1e-2, dtype=jnp.float32,
+                            errmeasure=backward)
+    lams2, Q2, errs = newton_refine(mats, fv, lams, Q, nsweeps=4,
+                                    tol=1e-11, errmeasure=backward,
+                                    dtype=jnp.float32, ir=3,
+                                    shift_rel=1e-8, max_batch=2)
+    assert np.all(errs < 1e-10), errs
+
+
 def test_resinv_refine_never_worse(wep_small):
     """The frozen-shift polisher must never degrade a pair (projection +
     joint-rejection contract)."""
