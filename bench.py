@@ -134,7 +134,8 @@ def _backward_errmeasure(mats, fv):
 
 
 def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
-                      tol=1e-6, tol_refined=1e-9, chunk=20):
+                      tol=1e-6, tol_refined=1e-9, chunk=20,
+                      refine_backend="chip", refine_batch=None):
     """Chip time-to-tolerance phase: complex-as-real IAR (partitioned
     SPIKE+SMW shifted solve, one compiled scan) to ``tol`` backward error,
     then mixed-precision per-pair Newton refinement (batched per-shift
@@ -163,7 +164,8 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
     gc.collect()
     lams, Q, errs = newton_refine(
         mats, fv, lams, Q, nsweeps=3, tol=tol_refined, errmeasure=backward,
-        dtype=jnp.float32, ir=3, shift_rel=1e-8)
+        dtype=jnp.float32, ir=3, shift_rel=1e-8, backend=refine_backend,
+        max_batch=refine_batch)
     wall = time.perf_counter() - t_start
     return {
         f"{key}_time_to_tol_s": round(wall, 3),
@@ -279,7 +281,8 @@ def main():
             ("chip", "gun_like", dict(
                 key="gun_like",
                 make_nep=lambda: __import__("neptpu").nep_gallery("gun_like"),
-                sigma=2.0e4 + 100j, gamma=1.0e4, maxit=60, tol=1e-6)),
+                sigma=2.0e4 + 100j, gamma=1.0e4, maxit=60, tol=1e-6,
+                refine_backend="chip", refine_batch=12)),
             ("cpu", "gun_like", None),
         ]
     if os.environ.get("BENCH_WEP", "1") != "0":
@@ -289,7 +292,10 @@ def main():
                 make_nep=lambda: __import__("neptpu").nep_gallery(
                     "waveguide", nx=109, nz=105,
                     benchmark_problem="JARLEBRING", neptype="SPMF"),
-                sigma=-3 - 3.5j, maxit=80, tol=1e-5)),
+                sigma=-3 - 3.5j, maxit=80, tol=1e-5,
+                # WEP rank (842 interleaved) forces multi-chunk chip
+                # batches; the exact host splu refine wins on wall time
+                refine_backend="host")),
             ("cpu", "wep", None),
         ]
     if os.environ.get("BENCH_WEP_LARGE", "1") != "0":
@@ -299,7 +305,8 @@ def main():
                 make_nep=lambda: __import__("neptpu").nep_gallery(
                     "waveguide", nx=119, nz=115,
                     benchmark_problem="JARLEBRING", neptype="SPMF"),
-                sigma=-3 - 3.5j, maxit=80, tol=1e-5)),
+                sigma=-3 - 3.5j, maxit=80, tol=1e-5,
+                refine_backend="host")),
             ("cpu", "wep_large", None),
         ]
 

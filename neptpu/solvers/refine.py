@@ -55,7 +55,7 @@ def spmf_fun_derivs(fv, lam, k=2):
     return D
 
 
-def _refine_batch_limit(plan, p=8, budget_bytes=5.5e9):
+def _refine_batch_limit(plan, p=8, budget_bytes=3.2e9):
     """Largest shift-batch whose solver state fits the HBM budget.
 
     Per-shift footprint of :class:`BatchedShiftSMW` (ir mode): f32 block
@@ -76,7 +76,7 @@ def _refine_batch_limit(plan, p=8, budget_bytes=5.5e9):
 def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
                   errmeasure=None, dtype=None, p=16, bsolver=None,
                   plan=None, ir=0, shift_rel=1e-8, return_solver=False,
-                  max_batch=None, _second_pass=False):
+                  max_batch=None, backend="chip", _second_pass=False):
     """Per-pair nonlinear inverse iteration against a BATCHED per-shift
     factorization — reference-class floors (1e-10+) from f32 chip solves.
 
@@ -103,10 +103,21 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
     csr = [A.tocsr() for A in mats]
     if dtype is None:
         dtype = jnp.float32
+    if backend == "auto":
+        from ..ops.partitioned import ShiftPlan
+
+        if plan is None:
+            plan = ShiftPlan(mats, fv)
+        # the chip batch pays one compiled-program set per distinct batch
+        # size; when HBM forces multiple chunks, the exact host splu
+        # (cheap at banded+low-rank sparsity) wins on wall time
+        backend = "chip" if (plan.ok and
+                             _refine_batch_limit(plan, p=min(p, 8)) >= k) \
+            else "host"
     # memory-aware chunking: at WEP scale each shift's solver state is
     # ~1 GB of HBM; process the pairs in batches that fit, each batch with
     # its OWN factorization (built, used for all sweeps, freed)
-    if bsolver is None and not _second_pass:
+    if backend == "chip" and bsolver is None and not _second_pass:
         from ..ops.partitioned import ShiftPlan
 
         if plan is None:
@@ -132,7 +143,22 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
                 return lams, Q, errs, None
             return lams, Q, errs
     sig_f = lams + 1j * shift_rel * np.maximum(np.abs(lams), 1.0)
-    if bsolver is None:
+    if backend == "host":
+        # exact scipy splu per shift — the reference's own per-eigenvalue
+        # UMFPACK pattern (method_resinv.jl); at banded+low-rank sparsity a
+        # factorization costs ~1 s, amortized over all sweeps
+        import scipy.sparse.linalg as spla
+
+        fallback = {}
+        for j in range(k):
+            w = spmf_fun_derivs(fv, sig_f[j], 1)[:, 0]
+            M = None
+            for wi, A in zip(w, csr):
+                T = A.astype(complex) * wi
+                M = T if M is None else M + T
+            fallback[j] = spla.splu(M.tocsc())
+        bsolver = _HostBatchSolver(fallback, n)
+    elif bsolver is None:
         # factor at OFFSET shifts: an eigenvalue-accurate shift makes
         # M(lam_j) singular to ~the backward error, and the f32-correction
         # IR diverges once kappa*eps_f32 > 1.  A relative offset of
@@ -140,12 +166,15 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         # contraction (offset/gap) stays tiny.
         bsolver = BatchedShiftSMW(mats, fv, sig_f, dtype=dtype, p=p,
                                   plan=plan, ir=ir)
-    # validate every shift's solve with one random probe (host f64
-    # residual): the mixed-precision SPIKE+SMW chain can still lose a shift
-    # whose BANDED bulk alone is near-singular (kappa(B(sigma)) past the
-    # f32-seeded IR radius); those shifts fall back to a host splu — exact,
-    # and cheap for banded+low-rank sparsity
-    fallback = _validate_shifts(csr, fv, sig_f, bsolver)
+    if backend == "host":
+        pass  # every pair already routed through its exact splu
+    else:
+        # validate every shift's solve with one random probe (host f64
+        # residual): the mixed-precision SPIKE+SMW chain can still lose a
+        # shift whose BANDED bulk alone is near-singular (kappa(B(sigma))
+        # past the f32-seeded IR radius); those shifts fall back to a host
+        # splu — exact, and cheap for banded+low-rank sparsity
+        fallback = _validate_shifts(csr, fv, sig_f, bsolver)
 
     def meas(lam, q):
         if errmeasure is not None:
@@ -209,13 +238,25 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         lb, Qb, eb = newton_refine(
             mats, fv, lams[bad], Q[:, bad], nsweeps=nsweeps, tol=tol,
             errmeasure=errmeasure, dtype=dtype, p=p, plan=plan, ir=ir,
-            shift_rel=shift_rel, _second_pass=True)
+            shift_rel=shift_rel, backend=backend, _second_pass=True)
         for t, j in enumerate(bad):
             if eb[t] < errs[j]:
                 lams[j], Q[:, j], errs[j] = lb[t], Qb[:, t], eb[t]
     if return_solver:
         return lams, Q, errs, bsolver
     return lams, Q, errs
+
+
+class _HostBatchSolver:
+    """backend='host' stand-in: every pair is solved by its splu in the
+    fallback dict; the chip call returns zeros that are overwritten."""
+
+    def __init__(self, fallback, n):
+        self.n = n
+
+    def solve_pairs(self, Rre, Rim):
+        z = np.zeros_like(np.asarray(Rre, dtype=np.float64))
+        return z, z
 
 
 def _validate_shifts(csr, fv, sig_f, bsolver, rel_tol=1e-6, seed=123):
