@@ -167,11 +167,19 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
         dtype=jnp.float32, ir=3, shift_rel=1e-8, backend=refine_backend,
         max_batch=refine_batch)
     wall = time.perf_counter() - t_start
+    # converged = DISTINCT eigenpairs below the refined tolerance (several
+    # marginal Ritz pairs can polish onto the same eigenvalue)
+    good = np.nonzero(errs < tol_refined)[0]
+    sel = []
+    for j in good[np.argsort(errs[good])]:
+        if all(abs(lams[j] - lams[i]) > 1e-7 * max(1.0, abs(lams[j]))
+               for i in sel):
+            sel.append(j)
     return {
         f"{key}_time_to_tol_s": round(wall, 3),
         f"{key}_n": int(nep.n),
-        f"{key}_k_target": int(neigs),
-        f"{key}_converged": int(np.sum(errs < tol_refined)),
+        f"{key}_k_target": 10,
+        f"{key}_converged": int(len(sel)),
         f"{key}_tol_backward": tol_refined,
         f"{key}_max_err": float(f"{max(errs):.3g}") if len(errs) else None,
         f"{key}_k_done": int(info["k_done"]),
@@ -292,7 +300,12 @@ def main():
                 make_nep=lambda: __import__("neptpu").nep_gallery(
                     "waveguide", nx=109, nz=105,
                     benchmark_problem="JARLEBRING", neptype="SPMF"),
-                sigma=-3 - 3.5j, maxit=80, tol=1e-5,
+                # maxit=100 + neigs=12 + Krylov tol 1e-7: at 1e-5 the early
+                # exit triggers on shallow duplicate Ritz pairs (a whole
+                # gap off their eigenvalue) — the tighter Krylov tol forces
+                # a deep enough basis for >= 10 DISTINCT pairs, which the
+                # refinement then takes to 1e-9
+                sigma=-3 - 3.5j, maxit=100, neigs=12, tol=1e-7,
                 # WEP rank (842 interleaved) forces multi-chunk chip
                 # batches; the exact host splu refine wins on wall time
                 refine_backend="host")),
@@ -305,12 +318,14 @@ def main():
                 make_nep=lambda: __import__("neptpu").nep_gallery(
                     "waveguide", nx=119, nz=115,
                     benchmark_problem="JARLEBRING", neptype="SPMF"),
-                sigma=-3 - 3.5j, maxit=80, tol=1e-5,
+                sigma=-3 - 3.5j, maxit=100, neigs=12, tol=1e-7,
                 refine_backend="host")),
             ("cpu", "wep_large", None),
         ]
 
     for kind, key, cfg in phases:
+        if kind == "cpu" and os.environ.get("BENCH_CPU", "1") == "0":
+            continue
         try:
             if kind == "chip":
                 result.update(_with_deadline(
