@@ -305,7 +305,7 @@ def main():
                 # gap off their eigenvalue) — the tighter Krylov tol forces
                 # a deep enough basis for >= 10 DISTINCT pairs, which the
                 # refinement then takes to 1e-9
-                sigma=-3 - 3.5j, maxit=100, neigs=12, tol=1e-7,
+                sigma=-3 - 3.5j, maxit=100, neigs=14, tol=1e-5,
                 # WEP rank (842 interleaved) forces multi-chunk chip
                 # batches; the exact host splu refine wins on wall time
                 refine_backend="host")),
@@ -318,7 +318,7 @@ def main():
                 make_nep=lambda: __import__("neptpu").nep_gallery(
                     "waveguide", nx=119, nz=115,
                     benchmark_problem="JARLEBRING", neptype="SPMF"),
-                sigma=-3 - 3.5j, maxit=100, neigs=12, tol=1e-7,
+                sigma=-3 - 3.5j, maxit=100, neigs=14, tol=1e-5,
                 refine_backend="host")),
             ("cpu", "wep_large", None),
         ]

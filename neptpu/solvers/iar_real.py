@@ -395,7 +395,14 @@ def auto_theta(Sre, Sim, m, dt):
         return 1.0
     slope = np.polyfit(jj[ok], np.log(g[ok]), 1)[0]
     theta = float(np.exp(-slope))
-    lim = float(jnp.finfo(jnp.dtype(dt)).max) ** (1.0 / max(m, 1)) / 4.0
+    # representability bound: theta^{+-m} must keep ~1e6 headroom inside
+    # dt's range.  The headroom divides the POWER, not the base — the old
+    # ``max**(1/m) / 4`` clamp turns degenerate once max**(1/m) < 4
+    # (m >~ 64 in f32), silently forcing a distorted theta that loses the
+    # whole scan's convergence at deep Krylov degrees.
+    lim = (float(jnp.finfo(jnp.dtype(dt)).max) / 1e6) ** (1.0 / max(m, 1))
+    if lim <= 1.0:
+        return 1.0
     return float(np.clip(theta, 1.0 / lim, lim))
 
 
@@ -448,6 +455,9 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
                             dt)
         k_done = 0
         lams = Q = None
+        best = None  # keep the BEST peek: at deep Krylov degree the f32
+        # basis can degrade, and the final extraction must not lose pairs
+        # that an earlier peek had already certified
         while k_done < m:
             steps = min(chunk, m - k_done)
             carry = _scan_chunk(bank, m, steps, jnp.asarray(k_done + 1),
@@ -458,8 +468,15 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
             lams, Q, ests = _extract_ritz(carry, k_done, m, n, sigma, gamma)
             errs = _filtered_errs(lams, Q, ests, resnorm, neigs)
             t_check += time.perf_counter() - tc
-            if int(np.sum(errs < tol)) >= neigs:
+            ncv = int(np.sum(errs < tol))
+            top = np.sort(errs)[: int(neigs)]
+            score = (ncv, -float(np.sum(np.log10(np.maximum(top, 1e-300)))))
+            if best is None or score > best[0]:
+                best = (score, lams, Q, errs)
+            if ncv >= neigs:
                 break
+        if best is not None:
+            _, lams, Q, errs = best
     else:
         carry = _init_carry(m, jnp.asarray(v.real, dt),
                             jnp.asarray(v.imag, dt), dt)

@@ -32,15 +32,18 @@ def _mesh(ndev):
 
 @pytest.mark.slow
 def test_wep_sharded_matches_serial():
-    nep = nep_gallery("waveguide", nx=29, nz=21,
+    # small config + moderate Krylov degree: the 8-way-oversubscribed
+    # virtual CPU mesh makes basis work the wall-time driver (this test
+    # alone was 519 s of the slow tier at maxit=50/nx=29)
+    nep = nep_gallery("waveguide", nx=23, nz=17,
                       benchmark_problem="JARLEBRING", neptype="SPMF")
     sigma = -3 - 3.5j
     mesh = _mesh(8)
     lam_sh, Q_sh, info = iar_real_spmf_sharded(
-        nep, mesh, sigma=sigma, maxit=50, neigs=4, tol=1e-8,
+        nep, mesh, sigma=sigma, maxit=36, neigs=3, tol=1e-8,
         dtype=jnp.float64, return_info=True)
-    assert info["nconv"] >= 4
-    lam_s, _ = iar_real_spmf(nep, sigma=sigma, maxit=50, neigs=4, tol=1e-8,
+    assert info["nconv"] >= 3
+    lam_s, _ = iar_real_spmf(nep, sigma=sigma, maxit=36, neigs=3, tol=1e-8,
                              dtype=jnp.float64, scaled=True)
     lam_s = np.asarray(lam_s)
     for la in lam_sh:
