@@ -135,7 +135,8 @@ def _backward_errmeasure(mats, fv):
 
 def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
                       tol=1e-6, tol_refined=1e-9, chunk=20,
-                      refine_backend="chip", refine_batch=None):
+                      refine_backend="chip", refine_batch=None,
+                      scan_precision=None):
     """Chip time-to-tolerance phase: complex-as-real IAR (partitioned
     SPIKE+SMW shifted solve, one compiled scan) to ``tol`` backward error,
     then mixed-precision per-pair Newton refinement (batched per-shift
@@ -155,7 +156,7 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
     lams, Q, info = iar_real_spmf(
         nep, sigma=sigma, gamma=gamma, maxit=maxit, neigs=neigs,
         tol=tol, check_error_every=chunk, errmeasure=backward,
-        dtype=jnp.float32, return_info=True)
+        dtype=jnp.float32, return_info=True, precision=scan_precision)
     t_iar_done = time.perf_counter()
     # free the IAR solver + basis HBM before the batched refine factors
     import gc
@@ -306,6 +307,9 @@ def main():
                 # a deep enough basis for >= 10 DISTINCT pairs, which the
                 # refinement then takes to 1e-9
                 sigma=-3 - 3.5j, maxit=100, neigs=14, tol=1e-5,
+                # true-f32 scan GEMMs: the bf16 default raises the Krylov
+                # noise floor and costs converged pairs on the WEP spectrum
+                scan_precision="highest",
                 # WEP rank (842 interleaved) forces multi-chunk chip
                 # batches; the exact host splu refine wins on wall time
                 refine_backend="host")),
@@ -319,7 +323,7 @@ def main():
                     "waveguide", nx=119, nz=115,
                     benchmark_problem="JARLEBRING", neptype="SPMF"),
                 sigma=-3 - 3.5j, maxit=100, neigs=14, tol=1e-5,
-                refine_backend="host")),
+                scan_precision="highest", refine_backend="host")),
             ("cpu", "wep_large", None),
         ]
 

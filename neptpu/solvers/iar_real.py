@@ -420,7 +420,7 @@ def apply_theta(Sre, Sim, theta):
 
 def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
                  neigs, tol, resnorm, n=None, check_error_every=None,
-                 scaled=False, theta=1.0, defl=None):
+                 scaled=False, theta=1.0, defl=None, precision=None):
     """Shared complex-as-real IAR driver (DEP and SPMF front ends).
 
     ``id_coeff``: coefficient of the virtual ``-coeff * y_1`` identity term
@@ -439,6 +439,15 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
         solver = solver.astype(dt)
     if n is None:
         n = int(solver.n)
+    # precision='highest': run the scan's GEMMs at true-f32 precision — the
+    # TPU default demotes f32 matmuls to single-pass bf16, which raises the
+    # Krylov noise floor and costs converged pairs on hard spectra (WEP);
+    # ~1.5-2x scan time for CPU-class f32 convergence
+    from contextlib import nullcontext
+
+    def _prec_ctx():
+        return (jax.default_matmul_precision(precision) if precision
+                else nullcontext())
     v = np.asarray(v, dtype=complex)
     id_coeff = complex(id_coeff)
     inv_theta = jnp.asarray(1.0 / float(theta), dt)
@@ -460,9 +469,10 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
         # that an earlier peek had already certified
         while k_done < m:
             steps = min(chunk, m - k_done)
-            carry = _scan_chunk(bank, m, steps, jnp.asarray(k_done + 1),
-                                carry, *args, scaled=scaled,
-                                inv_theta=inv_theta, defl=defl)
+            with _prec_ctx():
+                carry = _scan_chunk(bank, m, steps, jnp.asarray(k_done + 1),
+                                    carry, *args, scaled=scaled,
+                                    inv_theta=inv_theta, defl=defl)
             k_done += steps
             tc = time.perf_counter()
             lams, Q, ests = _extract_ritz(carry, k_done, m, n, sigma, gamma)
@@ -480,8 +490,10 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
     else:
         carry = _init_carry(m, jnp.asarray(v.real, dt),
                             jnp.asarray(v.imag, dt), dt)
-        carry = _scan_chunk(bank, m, m, jnp.asarray(1), carry, *args,
-                            scaled=scaled, inv_theta=inv_theta, defl=defl)
+        with _prec_ctx():
+            carry = _scan_chunk(bank, m, m, jnp.asarray(1), carry, *args,
+                                scaled=scaled, inv_theta=inv_theta,
+                                defl=defl)
         k_done = m
         lams, Q, ests = _extract_ritz(carry, k_done, m, n, sigma, gamma)
         errs = _filtered_errs(lams, Q, ests, resnorm, neigs)

@@ -239,7 +239,8 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
     # factorization at the now-much-better eigenvalue estimates — the
     # refactor restores the tiny offset/gap contraction
     passes = 0
-    while (tol is not None and not _second_pass and passes < 2
+    max_passes = 4 if backend == "host" else 2  # host refactors are cheap
+    while (tol is not None and not _second_pass and passes < max_passes
            and np.any(errs >= tol)):
         bad = np.nonzero(errs >= tol)[0]
         lb, Qb, eb = newton_refine(

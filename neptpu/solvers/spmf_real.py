@@ -216,7 +216,7 @@ def _spmf_host_resnorm(mats, fv):
 def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
                   v=None, dtype=jnp.float32, lu_piv=None, bank=None,
                   check_error_every=None, errmeasure=None,
-                  return_info=False, scaled="auto"):
+                  return_info=False, scaled="auto", precision=None):
     """Complex-as-real IAR on a real-operand SPMF (gun-class problems).
 
     Same contract as :func:`neptpu.solvers.iar_real.iar_real` (including
@@ -277,7 +277,8 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     lams, Q, info = run_iar_real(
         bank, m, Cre, Cim, 0.0, v, lu_piv, dt,  # no virtual -lam*I term
         sigma=sigma, gamma=gamma, neigs=neigs, tol=tol, resnorm=rn, n=n,
-        check_error_every=check_error_every, scaled=scaled, theta=theta)
+        check_error_every=check_error_every, scaled=scaled, theta=theta,
+        precision=precision)
     info["t_factorize"] = t_fact
     info["solver"] = lu_piv  # reusable by resinv_refine / further calls
     if return_info:
