@@ -88,10 +88,13 @@ def test_gun_like_refined_to_reference_tolerance():
     lams, Q = iar_real_spmf(
         nep, sigma=SIGMA, gamma=GAMMA, maxit=60, neigs=10, tol=1e-6,
         check_error_every=20, dtype=jnp.float32, errmeasure=meas)
+    # host-splu refine backend: the chip batched backend is covered by
+    # tests/test_refine.py on smaller fixtures; splu keeps this oracle
+    # test inside the slow tier's budget on the 2-core CI host
     lams, Q, errs = newton_refine(
         mats, fv, np.array(lams, complex), np.array(Q, complex),
-        nsweeps=3, tol=1e-10, errmeasure=meas, dtype=jnp.float32,
-        ir=3, shift_rel=1e-8)
+        nsweeps=3, tol=1e-10, errmeasure=meas, backend="host",
+        shift_rel=1e-8)
     assert int(np.sum(errs < 1e-9)) >= 10, errs
     matched = sum(1 for la in lams
                   if np.min(np.abs(la - GUN_LIKE_PINNED)) / abs(la) < 1e-9)
