@@ -99,6 +99,8 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
     k = len(lams)
     if k == 0:
         return (lams, Q, np.zeros(0)) + ((None,) if return_solver else ())
+    if backend not in ("chip", "host", "auto"):
+        raise ValueError(f"backend must be chip|host|auto, got {backend!r}")
     n = Q.shape[0]
     csr = [A.tocsr() for A in mats]
     if dtype is None:
