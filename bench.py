@@ -279,7 +279,14 @@ def bench_spmv(result, n_rep=5):
 def main():
     result = {}
     budget = int(os.environ.get("BENCH_PHASE_BUDGET_S", 280))
-    bench_spmv(result)
+    try:
+        # deadline like every other phase: a wedged tunnel RPC inside the
+        # SpMV phase must not hang the whole artifact
+        _with_deadline(lambda: bench_spmv(result), max(2 * budget, 600))
+    except Exception as e:
+        result.update({"metric": "fused_mlincomb_spmv_nnz_per_s_per_chip",
+                       "value": 0.0, "unit": "nnz/s", "vs_baseline": 0.0,
+                       "spmv_error": f"{type(e).__name__}: {e}"[:200]})
     # Flush the primary metric IMMEDIATELY: the driver keeps the last
     # complete JSON line, so anything printed here survives a later timeout.
     print(json.dumps(result), flush=True)
