@@ -145,7 +145,8 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
     import jax.numpy as jnp
 
     from neptpu.solvers.refine import newton_refine
-    from neptpu.solvers.spmf_real import collect_spmf_terms, iar_real_spmf
+    from neptpu.solvers.spmf_real import (collect_spmf_terms, iar_real_spmf,
+                                          iar_real_spmf_multishift)
 
     t_start = time.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
@@ -153,16 +154,32 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
     mats, fv = collect_spmf_terms(nep)
     backward = _backward_errmeasure(mats, fv)
 
-    lams, Q, info = iar_real_spmf(
-        nep, sigma=sigma, gamma=gamma, maxit=maxit, neigs=neigs,
-        tol=tol, check_error_every=chunk, errmeasure=backward,
-        dtype=jnp.float32, return_info=True, precision=scan_precision)
+    if isinstance(sigma, (list, tuple)):
+        # several shifts, shared bank + compiled programs: one Krylov run
+        # yields only the well-separated pairs near ITS shift
+        lams, Q, minfo = iar_real_spmf_multishift(
+            nep, sigma, gamma=gamma, maxit=maxit, neigs=neigs, tol=tol,
+            check_error_every=chunk, errmeasure=backward,
+            dtype=jnp.float32, return_info=True, precision=scan_precision)
+        per = minfo["per_shift"]
+        info = {"k_done": max(i["k_done"] for i in per),
+                "t_factorize": sum(i["t_factorize"] for i in per),
+                "t_scan": sum(i["t_scan"] for i in per)}
+    else:
+        lams, Q, info = iar_real_spmf(
+            nep, sigma=sigma, gamma=gamma, maxit=maxit, neigs=neigs,
+            tol=tol, check_error_every=chunk, errmeasure=backward,
+            dtype=jnp.float32, return_info=True, precision=scan_precision)
     t_iar_done = time.perf_counter()
     # free the IAR solver + basis HBM before the batched refine factors
     import gc
 
     info.pop("solver", None)
     gc.collect()
+    # cap the refine set: multishift can return ~2k candidates, and the
+    # marginal tail costs multi-pass splu refactors for little yield
+    if len(np.asarray(lams)) > 16:
+        lams, Q = lams[:16], Q[:, :16]
     lams, Q, errs = newton_refine(
         mats, fv, lams, Q, nsweeps=3, tol=tol_refined, errmeasure=backward,
         dtype=jnp.float32, ir=3, shift_rel=1e-8, backend=refine_backend,
@@ -278,7 +295,7 @@ def bench_spmv(result, n_rep=5):
 
 def main():
     result = {}
-    budget = int(os.environ.get("BENCH_PHASE_BUDGET_S", 280))
+    budget = int(os.environ.get("BENCH_PHASE_BUDGET_S", 600))
     try:
         # deadline like every other phase: a wedged tunnel RPC inside the
         # SpMV phase must not hang the whole artifact
@@ -313,7 +330,11 @@ def main():
                 # gap off their eigenvalue) — the tighter Krylov tol forces
                 # a deep enough basis for >= 10 DISTINCT pairs, which the
                 # refinement then takes to 1e-9
-                sigma=-3 - 3.5j, maxit=100, neigs=14, tol=1e-5,
+                # three well-spread shifts: one Krylov run converges only
+                # the ~4 well-separated pairs near ITS shift (the
+                # reference's own wep oracle gets 3 in 100 iterations)
+                sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
+                maxit=100, neigs=8, tol=1e-5,
                 # true-f32 scan GEMMs: the bf16 default raises the Krylov
                 # noise floor and costs converged pairs on the WEP spectrum
                 scan_precision="highest",
@@ -329,7 +350,8 @@ def main():
                 make_nep=lambda: __import__("neptpu").nep_gallery(
                     "waveguide", nx=119, nz=115,
                     benchmark_problem="JARLEBRING", neptype="SPMF"),
-                sigma=-3 - 3.5j, maxit=100, neigs=14, tol=1e-5,
+                sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
+                maxit=100, neigs=8, tol=1e-5,
                 scan_precision="highest", refine_backend="host")),
             ("cpu", "wep_large", None),
         ]

@@ -26,7 +26,8 @@ from .iar_chebyshev import iar_chebyshev
 from .iar_jit import iar_jitted, iar_scan_kernel
 from .iar_real import iar_real, iar_real_scan, dep_shift_block_lu
 from .refine import newton_refine, resinv_refine
-from .spmf_real import iar_real_spmf, iar_real_spmf_deflated
+from .spmf_real import (iar_real_spmf, iar_real_spmf_deflated,
+                        iar_real_spmf_multishift)
 from .tiar_jit import tiar_jitted, tiar_jitted_spmf
 from .aaa import AAAeigs, svAAA, get_prz
 from .blocknewton import blocknewton
@@ -49,6 +50,7 @@ __all__ = [
     "iar_real_scan",
     "iar_real_spmf",
     "iar_real_spmf_deflated",
+    "iar_real_spmf_multishift",
     "newton_refine",
     "resinv_refine",
     "tiar_jitted",

@@ -46,6 +46,7 @@ __all__ = [
     "spmf_fun_scalars",
     "spmf_shift_block_lu",
     "iar_real_spmf",
+    "iar_real_spmf_multishift",
     "iar_real_spmf_deflated",
 ]
 
@@ -283,6 +284,58 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
     info["solver"] = lu_piv  # reusable by resinv_refine / further calls
     if return_info:
         return lams, Q, info
+    return lams, Q
+
+
+def iar_real_spmf_multishift(nep, sigmas, gamma=1.0, maxit=30, neigs=6,
+                             tol=None, dtype=jnp.float32,
+                             check_error_every=None, errmeasure=None,
+                             precision=None, dedupe_rel=1e-7,
+                             return_info=False):
+    """Complex-as-real IAR from SEVERAL shifts, merged and deduplicated.
+
+    One Krylov run yields only the handful of well-separated eigenvalues
+    near its shift (the reference's own wep oracle converges 3 pairs in
+    100 iterations, ``test/wep_small.jl``); covering a spectral region
+    needs several shifts.  The term bank is built ONCE and shared; every
+    per-shift run reuses the same compiled scan programs (identical
+    shapes — only the factorization and coefficient-table VALUES change),
+    so each extra shift costs one shifted factorization plus one scan.
+
+    Returns ``(lams, Q[, info])`` over the union of converged pairs, best
+    residual first, pairs within ``dedupe_rel`` relative distance merged.
+    """
+    mats, fv = collect_spmf_terms(nep)
+    dt = jnp.dtype(dtype)
+    bank = make_mixed_bank(mats, dtype=np.dtype(dt))
+    meas = errmeasure if errmeasure is not None else _spmf_host_resnorm(
+        mats, fv)
+    all_l, all_q, infos = [], [], []
+    for s in sigmas:
+        lams, Q, info = iar_real_spmf(
+            nep, sigma=s, gamma=gamma, maxit=maxit, neigs=neigs, tol=tol,
+            dtype=dt, bank=bank, check_error_every=check_error_every,
+            errmeasure=errmeasure, precision=precision, return_info=True)
+        info.pop("solver", None)
+        infos.append(info)
+        for j in range(len(np.asarray(lams))):
+            all_l.append(complex(np.asarray(lams)[j]))
+            all_q.append(np.asarray(Q[:, j]))
+    if not all_l:
+        out = (np.zeros(0, complex), np.zeros((nep.n, 0), complex))
+        return out + ({"per_shift": infos},) if return_info else out
+    errs = np.array([meas(la, q) for la, q in zip(all_l, all_q)])
+    order = np.argsort(errs)
+    sel = []
+    for j in order:
+        la = all_l[j]
+        if all(abs(la - all_l[i]) > dedupe_rel * max(1.0, abs(la))
+               for i in sel):
+            sel.append(j)
+    lams = np.array([all_l[j] for j in sel])
+    Q = np.stack([all_q[j] for j in sel], axis=1)
+    if return_info:
+        return lams, Q, {"per_shift": infos, "errs": errs[sel]}
     return lams, Q
 
 

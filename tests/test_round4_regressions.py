@@ -128,6 +128,27 @@ def test_refine_rejects_unknown_backend(wep_small):
         newton_refine(mats, fv, lams, Q, backend="gpu")
 
 
+def test_multishift_finds_more_distinct_pairs(wep_small):
+    """Several shifts, shared bank + compiled programs: the union must
+    cover MORE distinct eigenvalues than one shift alone, deduplicated and
+    residual-sorted (the route to k=10 distinct WEP pairs in the bench)."""
+    from neptpu.solvers.spmf_real import iar_real_spmf_multishift
+
+    nep, mats, fv, backward = wep_small
+    l1, _ = iar_real_spmf(nep, sigma=-3 - 3.5j, maxit=30, neigs=5,
+                          tol=1e-4, dtype=jnp.float32, errmeasure=backward)
+    lams, Q = iar_real_spmf_multishift(
+        nep, [-3 - 3.5j, -1.8 - 2.3j], maxit=30, neigs=5, tol=1e-4,
+        dtype=jnp.float32, errmeasure=backward)
+    assert len(lams) > len(np.asarray(l1))
+    # deduplicated
+    D = np.abs(lams[:, None] - lams[None, :]) + np.eye(len(lams))
+    assert D.min() > 1e-6
+    # residual-sorted best-first
+    errs = [backward(complex(la), Q[:, j]) for j, la in enumerate(lams)]
+    assert errs[0] <= errs[-1] * 1.0000001
+
+
 def test_refine_empty_input_is_noop(wep_small):
     nep, mats, fv, backward = wep_small
     lams, Q, errs = newton_refine(mats, fv, np.zeros(0, complex),
