@@ -176,10 +176,6 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
 
     info.pop("solver", None)
     gc.collect()
-    # cap the refine set: multishift can return ~2k candidates, and the
-    # marginal tail costs multi-pass splu refactors for little yield
-    if len(np.asarray(lams)) > 16:
-        lams, Q = lams[:16], Q[:, :16]
     lams, Q, errs = newton_refine(
         mats, fv, lams, Q, nsweeps=3, tol=tol_refined, errmeasure=backward,
         dtype=jnp.float32, ir=3, shift_rel=1e-8, backend=refine_backend,
