@@ -133,15 +133,52 @@ def _backward_errmeasure(mats, fv):
     return err
 
 
+def cluster_candidates(lams, errs, rel=3e-5, keep=None):
+    """Indices of one best-residual representative per eigenvalue CLUSTER.
+
+    A multishift Krylov union carries several copies of each eigenvalue
+    (one per nearby shift) whose Ritz values differ by ~the scan tolerance
+    — far more than the 1e-7 distinctness rule but far less than the
+    spectrum's spacing (O(1e-2) relative on the gun/WEP class).  Clustering
+    at ``rel`` before refinement means ONE per-shift factorization per
+    eigenvalue instead of per copy.  ``keep`` caps the number of clusters
+    (best residual first); None keeps all."""
+    order = np.argsort(errs)
+    sel = []
+    for j in order:
+        if all(abs(lams[j] - lams[i]) > rel * max(1.0, abs(lams[j]))
+               for i in sel):
+            sel.append(int(j))
+    return sel[:keep] if keep is not None else sel
+
+
+def distinct_below_tol(lams, errs, tol, rel=1e-7):
+    """Indices of DISTINCT eigenpairs below ``tol`` (best residual per
+    1e-7-relative group) — the `converged` gate, shared with the CPU
+    comparator for like-for-like counting."""
+    good = np.nonzero(np.asarray(errs) < tol)[0]
+    sel = []
+    for j in good[np.argsort(np.asarray(errs)[good])]:
+        if all(abs(lams[j] - lams[i]) > rel * max(1.0, abs(lams[j]))
+               for i in sel):
+            sel.append(int(j))
+    return sel
+
+
 def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
-                      tol=1e-6, tol_refined=1e-9, chunk=20,
+                      tol=1e-6, tol_refined=1e-9, chunk=20, k_target=10,
                       refine_backend="chip", refine_batch=None,
-                      scan_precision=None):
+                      scan_precision=None, tol_floor=None):
     """Chip time-to-tolerance phase: complex-as-real IAR (partitioned
     SPIKE+SMW shifted solve, one compiled scan) to ``tol`` backward error,
     then mixed-precision per-pair Newton refinement (batched per-shift
     factorization + f64-IR solves) to ``tol_refined``.  Wall time covers
-    EVERYTHING from gallery construction to refined pairs."""
+    EVERYTHING from gallery construction to refined pairs.
+
+    ``tol_floor`` (optional, < tol_refined) drives the refinement deeper
+    than the converged gate — the reference-oracle floor (gun:
+    ``test/gun_native.jl:9-19`` runs at tol 1e-11); ``converged`` is still
+    counted against ``tol_refined``."""
     import jax.numpy as jnp
 
     from neptpu.solvers.refine import newton_refine
@@ -176,38 +213,75 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
 
     info.pop("solver", None)
     gc.collect()
+    # ONE representative per eigenvalue cluster: cross-shift duplicate
+    # Ritz pairs (agreeing to ~scan tol, far inside the spectrum spacing)
+    # would each cost a per-shift factorization in the refinement
+    lams = np.asarray(lams)
+    Q = np.asarray(Q)
+    errs0 = np.array([backward(complex(lams[j]), Q[:, j])
+                      for j in range(len(lams))])
+    reps = cluster_candidates(lams, errs0)
+    lams, Q = lams[reps], Q[:, reps]
+    k_candidates = int(len(reps))
     lams, Q, errs = newton_refine(
-        mats, fv, lams, Q, nsweeps=3, tol=tol_refined, errmeasure=backward,
-        dtype=jnp.float32, ir=3, shift_rel=1e-8, backend=refine_backend,
-        max_batch=refine_batch)
+        mats, fv, lams, Q, nsweeps=3,
+        tol=tol_floor if tol_floor is not None else tol_refined,
+        errmeasure=backward, dtype=jnp.float32, ir=3, shift_rel=1e-8,
+        backend=refine_backend, max_batch=refine_batch)
     wall = time.perf_counter() - t_start
     # converged = DISTINCT eigenpairs below the refined tolerance (several
     # marginal Ritz pairs can polish onto the same eigenvalue)
-    good = np.nonzero(errs < tol_refined)[0]
-    sel = []
-    for j in good[np.argsort(errs[good])]:
-        if all(abs(lams[j] - lams[i]) > 1e-7 * max(1.0, abs(lams[j]))
-               for i in sel):
-            sel.append(j)
-    return {
+    sel = distinct_below_tol(lams, errs, tol_refined)
+    out = {
         f"{key}_time_to_tol_s": round(wall, 3),
         f"{key}_n": int(nep.n),
-        f"{key}_k_target": 10,
+        f"{key}_k_target": int(k_target),
         f"{key}_converged": int(len(sel)),
         f"{key}_tol_backward": tol_refined,
-        f"{key}_max_err": float(f"{max(errs):.3g}") if len(errs) else None,
+        # max over the SELECTED distinct set — the pairs the phase reports;
+        # the candidate max (incl. non-selected duplicates/stragglers)
+        # lives under its own key
+        f"{key}_max_err": float(f"{max(errs[sel]):.3g}") if sel else None,
+        f"{key}_max_err_candidates":
+            float(f"{max(errs):.3g}") if len(errs) else None,
+        f"{key}_k_candidates": k_candidates,
         f"{key}_k_done": int(info["k_done"]),
+        f"{key}_refine_backend": refine_backend,
         f"{key}_t_factorize_s": round(info["t_factorize"], 3),
         f"{key}_t_scan_s": round(info["t_scan"], 3),
         f"{key}_t_refine_s": round(wall - (t_iar_done - t_start), 3),
     }
+    if tol_floor is not None:
+        out[f"{key}_tol_floor"] = tol_floor
+    return out
 
 
 def bench_cpu_ref(key, phase, budget):
-    """CPU float64 comparator in a SUBPROCESS (own backend/x64 config):
+    """CPU float64 comparator — cached or fresh.
+
+    The comparator values are stable across rounds (same host, same code
+    path), and running all three inside the driver window starves the chip
+    phases — so the committed ``benchmarks/cpu_ref_results.json`` (recorded
+    by ``python benchmarks/cpu_ref.py <phase> --save``, with host + date
+    metadata) is used when present; ``BENCH_CPU_FRESH=1`` forces a re-run.
+    Fresh runs go through a SUBPROCESS (own backend/x64 config):
     ``benchmarks/cpu_ref.py`` — complex128 host IAR + cached scipy splu,
-    same problem / k / tolerance protocol.  Records the wall time, or the
-    budget as a LOWER BOUND when the run exceeds its deadline."""
+    same problem / k / tolerance protocol.  A fresh run that exceeds its
+    deadline records the budget as a LOWER BOUND."""
+    cache_path = os.path.join(REPO, "benchmarks", "cpu_ref_results.json")
+    if os.environ.get("BENCH_CPU_FRESH", "0") != "1" and \
+            os.path.exists(cache_path):
+        try:
+            with open(cache_path) as fh:
+                cache = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            cache = {}
+        if phase in cache:
+            d = cache[phase]
+            return {f"{key}_cpu_ref_s": d["cpu_ref_s"],
+                    f"{key}_cpu_ref_converged": d["converged"],
+                    f"{key}_cpu_ref_tol": d["tol_backward"],
+                    f"{key}_cpu_ref_cached": d.get("recorded", True)}
     env = dict(os.environ)
     env.pop("NEPTPU_DISABLE_X64", None)
     try:
@@ -277,6 +351,23 @@ def bench_spmv(result, n_rep=5):
     t_csr = max(chain_slope(make_step(bank_csr), W0) - t_feed, 1e-9)
     csr_rate = nnz_total / t_csr
 
+    # self-normalizing roofline: the kernel is HBM-bound, so its ceiling is
+    # the MEASURED stream rate in the SAME run/tunnel/runtime — the ratio
+    # separates a kernel regression from environment drift across rounds.
+    # Stream step: elementwise copy+scale over the kernel's compulsory
+    # traffic volume (read + write); DIA-kernel traffic per apply: strip
+    # reads (nnz*4B) + W read (n*m*4B) + y write (n*4B).
+    S0 = jnp.asarray(rng.standard_normal(
+        (nnz_total + n * m + n) // 2).astype(np.float32))
+
+    @jax.jit
+    def stream_step(x):
+        return x * np.float32(1.0000001)
+
+    t_stream = max(chain_slope(stream_step, S0[:, None]) - t_feed, 1e-9)
+    stream_gbs = 2 * 4 * S0.shape[0] / t_stream / 1e9
+    traffic = 4 * (nnz_total + n * m + n)
+    kernel_gbs = traffic / (nnz_total / med) / 1e9
     result.update({
         "metric": "fused_mlincomb_spmv_nnz_per_s_per_chip",
         "value": float(f"{med:.4g}"),
@@ -285,6 +376,10 @@ def bench_spmv(result, n_rep=5):
         "spmv_repeats": int(n_rep),
         "spmv_min": float(f"{rates[0]:.4g}"),
         "spmv_max": float(f"{rates[-1]:.4g}"),
+        "spmv_stream_bw_gbs": float(f"{stream_gbs:.4g}"),
+        "spmv_kernel_bw_gbs": float(f"{kernel_gbs:.4g}"),
+        "spmv_frac_of_stream_roofline":
+            float(f"{kernel_gbs / stream_gbs:.3g}"),
     })
     return result
 
@@ -304,53 +399,50 @@ def main():
     # complete JSON line, so anything printed here survives a later timeout.
     print(json.dumps(result), flush=True)
 
-    phases = []
+    chip_phases, cpu_phases = [], []
     if os.environ.get("BENCH_GUN", "1") != "0":
-        phases += [
-            ("chip", "gun_like", dict(
-                key="gun_like",
-                make_nep=lambda: __import__("neptpu").nep_gallery("gun_like"),
-                sigma=2.0e4 + 100j, gamma=1.0e4, maxit=60, tol=1e-6,
-                refine_backend="chip", refine_batch=12)),
-            ("cpu", "gun_like", None),
-        ]
+        chip_phases.append(("chip", "gun_like", dict(
+            key="gun_like",
+            make_nep=lambda: __import__("neptpu").nep_gallery("gun_like"),
+            sigma=2.0e4 + 100j, gamma=1.0e4, maxit=60, tol=1e-6,
+            # refine past the 1e-9 gate to the literal reference-oracle
+            # floor (test/gun_native.jl runs quasinewton at tol 1e-11)
+            tol_floor=1e-11,
+            refine_backend="chip", refine_batch=12)))
+        cpu_phases.append(("cpu", "gun_like", None))
     if os.environ.get("BENCH_WEP", "1") != "0":
-        phases += [
-            ("chip", "wep", dict(
-                key="wep",
-                make_nep=lambda: __import__("neptpu").nep_gallery(
-                    "waveguide", nx=109, nz=105,
-                    benchmark_problem="JARLEBRING", neptype="SPMF"),
-                # maxit=100 + neigs=12 + Krylov tol 1e-7: at 1e-5 the early
-                # exit triggers on shallow duplicate Ritz pairs (a whole
-                # gap off their eigenvalue) — the tighter Krylov tol forces
-                # a deep enough basis for >= 10 DISTINCT pairs, which the
-                # refinement then takes to 1e-9
-                # three well-spread shifts: one Krylov run converges only
-                # the ~4 well-separated pairs near ITS shift (the
-                # reference's own wep oracle gets 3 in 100 iterations)
-                sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
-                maxit=100, neigs=8, tol=1e-5,
-                # true-f32 scan GEMMs: the bf16 default raises the Krylov
-                # noise floor and costs converged pairs on the WEP spectrum
-                scan_precision="highest",
-                # WEP rank (842 interleaved) forces multi-chunk chip
-                # batches; the exact host splu refine wins on wall time
-                refine_backend="host")),
-            ("cpu", "wep", None),
-        ]
+        chip_phases.append(("chip", "wep", dict(
+            key="wep",
+            make_nep=lambda: __import__("neptpu").nep_gallery(
+                "waveguide", nx=109, nz=105,
+                benchmark_problem="JARLEBRING", neptype="SPMF"),
+            # maxit=100 + neigs=8/shift: one Krylov run converges only
+            # the ~4 well-separated pairs near ITS shift (the reference's
+            # own wep oracle gets 3 in 100 iterations); well-spread
+            # shifts cover >= 10 DISTINCT pairs deterministically
+            sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
+            maxit=100, neigs=8, tol=1e-5,
+            # true-f32 scan GEMMs: the bf16 default raises the Krylov
+            # noise floor and costs converged pairs on the WEP spectrum
+            scan_precision="highest",
+            refine_backend=os.environ.get("BENCH_WEP_REFINE", "chip"))))
+        cpu_phases.append(("cpu", "wep", None))
     if os.environ.get("BENCH_WEP_LARGE", "1") != "0":
-        phases += [
-            ("chip", "wep_large", dict(
-                key="wep_large",
-                make_nep=lambda: __import__("neptpu").nep_gallery(
-                    "waveguide", nx=119, nz=115,
-                    benchmark_problem="JARLEBRING", neptype="SPMF"),
-                sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
-                maxit=100, neigs=8, tol=1e-5,
-                scan_precision="highest", refine_backend="host")),
-            ("cpu", "wep_large", None),
-        ]
+        chip_phases.append(("chip", "wep_large", dict(
+            key="wep_large",
+            make_nep=lambda: __import__("neptpu").nep_gallery(
+                "waveguide", nx=119, nz=115,
+                benchmark_problem="JARLEBRING", neptype="SPMF"),
+            sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
+            maxit=100, neigs=8, tol=1e-5,
+            scan_precision="highest",
+            refine_backend=os.environ.get("BENCH_WEP_REFINE", "chip"))))
+        cpu_phases.append(("cpu", "wep_large", None))
+    # ALL chip phases run before any CPU comparator: the comparators are
+    # cheap when cached (benchmarks/cpu_ref_results.json) but a fresh run
+    # takes 2-11 min each — the chip record must never fall off the end of
+    # the driver window behind a comparator
+    phases = chip_phases + cpu_phases
 
     for kind, key, cfg in phases:
         if kind == "cpu" and os.environ.get("BENCH_CPU", "1") == "0":

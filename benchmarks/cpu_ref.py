@@ -9,8 +9,17 @@ reference's UMFPACK role, ``LinSolvers.jl:109-137``).  This is the fastest
 CPU configuration the framework ships; "matching-or-beating on perf" is
 evidenced by the chip phase beating this wall time.
 
+``converged`` counts DISTINCT eigenpairs below the tolerance (best
+residual per 1e-7-relative group) — the same rule as the chip phases'
+``*_converged`` keys in ``bench.py``, so the two sides count the same
+thing.
+
 Usage: ``python benchmarks/cpu_ref.py <gun_like|wep|wep_large> [maxit]``
 prints one JSON line ``{"phase": ..., "cpu_ref_s": ..., "converged": ...}``.
+With ``--save``, the result is also merged into
+``benchmarks/cpu_ref_results.json`` (host + date metadata) — the committed
+comparator cache that ``bench.py`` reads so the driver-window bench never
+re-pays the 2-11 min comparator runs.
 """
 import json
 import os
@@ -50,7 +59,9 @@ def main():
     from neptpu.solvers import iar
     from neptpu.solvers.spmf_real import collect_spmf_terms
 
-    phase = sys.argv[1] if len(sys.argv) > 1 else "gun_like"
+    args = [a for a in sys.argv[1:] if a != "--save"]
+    save = "--save" in sys.argv[1:]
+    phase = args[0] if args else "gun_like"
     if phase == "gun_like":
         nep = neptpu.nep_gallery("gun_like")
         sigma, gamma, tol, maxit = 2.0e4 + 100j, 1.0e4, 1e-6, 60
@@ -66,12 +77,26 @@ def main():
         sigma, gamma, tol, maxit = -3 - 3.5j, 1.0, 1e-5, 80
     else:
         raise SystemExit(f"unknown phase {phase}")
-    if len(sys.argv) > 2:
-        maxit = int(sys.argv[2])
+    if len(args) > 1:
+        maxit = int(args[1])
 
     mats, fv = collect_spmf_terms(nep)
     err = backward_errmeasure(mats, fv)
     neigs = 10
+
+    def distinct_count(lams, Q):
+        """DISTINCT converged pairs — same rule as bench.py's
+        distinct_below_tol (best residual per 1e-7-relative group)."""
+        lams = np.asarray(lams)
+        errs = np.array([err(la, np.asarray(Q[:, j]))
+                         for j, la in enumerate(lams)])
+        good = np.nonzero(errs < tol)[0]
+        sel = []
+        for j in good[np.argsort(errs[good])]:
+            if all(abs(lams[j] - lams[i]) > 1e-7 * max(1.0, abs(lams[j]))
+                   for i in sel):
+                sel.append(j)
+        return len(sel)
 
     t0 = time.perf_counter()
     try:
@@ -79,18 +104,36 @@ def main():
                          neigs=neigs, tol=tol, errmeasure=err,
                          check_error_every=10,
                          linsolvercreator=SparseFactorizeLinSolverCreator())
-        nconv = int(len(np.asarray(lams)))
+        nconv = distinct_count(lams, Q)
     except NoConvergenceException as e:
         lams = np.asarray(e.lam) if e.lam is not None else np.zeros(0)
         Qp = np.asarray(e.v) if e.v is not None else None
         nconv = 0
         if Qp is not None and lams.size:
-            nconv = int(sum(err(la, Qp[:, j]) < tol
-                            for j, la in enumerate(lams)))
+            nconv = distinct_count(lams, Qp)
     wall = time.perf_counter() - t0
-    print(json.dumps({"phase": phase, "cpu_ref_s": round(wall, 3),
-                      "converged": nconv, "n": int(nep.n),
-                      "k_target": neigs, "tol_backward": tol}), flush=True)
+    rec = {"phase": phase, "cpu_ref_s": round(wall, 3),
+           "converged": nconv, "n": int(nep.n),
+           "k_target": neigs, "tol_backward": tol}
+    print(json.dumps(rec), flush=True)
+    if save:
+        import datetime
+        import platform
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "cpu_ref_results.json")
+        try:
+            with open(path) as fh:
+                cache = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            cache = {}
+        rec = dict(rec)
+        rec["recorded"] = datetime.date.today().isoformat()
+        rec["host"] = f"{platform.machine()}-{os.cpu_count()}cpu"
+        cache[phase] = rec
+        with open(path, "w") as fh:
+            json.dump(cache, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
 
 if __name__ == "__main__":

@@ -398,8 +398,9 @@ class WEP_FD(WEP):
 
     def Mder(self, lam, der: int = 0):
         raise NotImplementedError(
-            "The WEP does not implement this function. If this was called in a "
-            "situation where you want to solve linear systems please look at WEPLinSolverCreator"
+            "WEP_FD exposes no assembled derivative matrices (Mder); its "
+            "linear algebra runs matrix-free through the Schur-complement "
+            "solvers — build solves via WEPLinSolverCreator instead."
         )
 
 

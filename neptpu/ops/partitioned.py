@@ -768,7 +768,7 @@ class ShiftPlan:
 
 
 @functools.lru_cache(maxsize=32)
-def _batched_setup_fn(offsets, p, blk, b, n2, mode, refine):
+def _batched_setup_fn(offsets, p, blk, b, n2, mode):
     """vmapped factor+SMW setup over a leading shift axis; returns batched
     solver leaves."""
     aux = (offsets, p, blk, b, n2, mode)
@@ -913,6 +913,10 @@ class BatchedShiftSMW:
 
     def __init__(self, mats, fv, sigmas, dtype=jnp.float32, p=8,
                  mode="inv", plan=None, refine=1, ir=0):
+        import time as _time
+
+        self.timings = {}
+        _t0 = _time.perf_counter()
         rdt = np.dtype(dtype)
         if np.issubdtype(rdt, np.complexfloating):
             rdt = np.float64 if rdt == np.complex128 else np.float32
@@ -934,6 +938,8 @@ class BatchedShiftSMW:
             Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
             Lt_list.append(Ltil)
             Ut_list.append(Util)
+        self.timings["host_assemble"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         n2 = rs_list[0].shape[1]
         offsets = tuple(int(o) for o in roffs)
         b = max(max((abs(o) for o in offsets), default=1), 1)
@@ -974,19 +980,26 @@ class BatchedShiftSMW:
                 s64bt[i, :, :n2] = rs
             setup = _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt,
                                          mode, ir)
-            out = setup(jnp.asarray(stack.astype(np.float32)),
-                        jnp.asarray(s64bt), jnp.asarray(Lt_stack),
-                        jnp.asarray(Ut_stack))
+            dev_in = (jnp.asarray(stack.astype(np.float32)),
+                      jnp.asarray(s64bt), jnp.asarray(Lt_stack),
+                      jnp.asarray(Ut_stack))
+            jax.block_until_ready(dev_in)
+            self.timings["transfer"] = _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            out = setup(*dev_in)
             (self.fac, self.piv, self.V, self.W, self.r_fac, self.r_piv,
              self.D64, self.B64, self.C64, self.X64, K64) = out
             K64_h = np.asarray(K64, dtype=np.float64)  # (S, 2R, 2R)
+            self.timings["setup_program"] = _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             self.Kinv64 = jnp.asarray(np.linalg.inv(K64_h))
-            self.strips_b = jnp.asarray(stack.astype(np.float32))
-            self.Ltil64 = jnp.asarray(Lt_stack)
-            self.Util64 = jnp.asarray(Ut_stack)
+            self.strips_b = dev_in[0]
+            self.Ltil64 = dev_in[2]
+            self.Util64 = dev_in[3]
             jax.block_until_ready(self.fac)
+            self.timings["kinv_host"] = _time.perf_counter() - _t0
             return
-        setup = _batched_setup_fn(offsets, p, blk, b, n2, mode, refine)
+        setup = _batched_setup_fn(offsets, p, blk, b, n2, mode)
         out = setup(strips_b, Ltil_b, Util_b)
         (self.fac, self.piv, self.V, self.W, self.r_fac, self.r_piv,
          self.DBC, self.X, self.K_fac, self.K_piv) = out

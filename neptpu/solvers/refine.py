@@ -101,6 +101,10 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         return (lams, Q, np.zeros(0)) + ((None,) if return_solver else ())
     if backend not in ("chip", "host", "auto"):
         raise ValueError(f"backend must be chip|host|auto, got {backend!r}")
+    # ONE partition count for both the HBM budget and the solver itself —
+    # the budget's reduced-system term scales as p^2, so budgeting at a
+    # smaller p than the allocation would defeat the chunking
+    p = min(int(p), 8)
     n = Q.shape[0]
     csr = [A.tocsr() for A in mats]
     if dtype is None:
@@ -118,7 +122,7 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         # size; when HBM forces multiple chunks, the exact host splu
         # (cheap at banded+low-rank sparsity) wins on wall time
         backend = "chip" if (plan.ok and
-                             _refine_batch_limit(plan, p=min(p, 8)) >= k) \
+                             _refine_batch_limit(plan, p=p) >= k) \
             else "host"
     # memory-aware chunking: at WEP scale each shift's solver state is
     # ~1 GB of HBM; process the pairs in batches that fit, each batch with
@@ -129,7 +133,7 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         if plan is None:
             plan = ShiftPlan(mats, fv)
         if max_batch is None:
-            max_batch = _refine_batch_limit(plan, p=min(p, 8))
+            max_batch = _refine_batch_limit(plan, p=p)
         if k > max_batch:
             import gc
 

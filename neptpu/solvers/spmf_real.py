@@ -217,7 +217,8 @@ def _spmf_host_resnorm(mats, fv):
 def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
                   v=None, dtype=jnp.float32, lu_piv=None, bank=None,
                   check_error_every=None, errmeasure=None,
-                  return_info=False, scaled="auto", precision=None):
+                  return_info=False, scaled="auto", precision=None,
+                  return_solver=False):
     """Complex-as-real IAR on a real-operand SPMF (gun-class problems).
 
     Same contract as :func:`neptpu.solvers.iar_real.iar_real` (including
@@ -281,7 +282,10 @@ def iar_real_spmf(nep, sigma=0.0, gamma=1.0, maxit=30, neigs=6, tol=None,
         check_error_every=check_error_every, scaled=scaled, theta=theta,
         precision=precision)
     info["t_factorize"] = t_fact
-    info["solver"] = lu_piv  # reusable by resinv_refine / further calls
+    if return_solver:
+        # opt-in: the live factorization pins GBs of HBM at gun/WEP scale,
+        # so callers must ask for it (resinv_refine reuse) explicitly
+        info["solver"] = lu_piv
     if return_info:
         return lams, Q, info
     return lams, Q

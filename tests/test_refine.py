@@ -136,7 +136,8 @@ def test_resinv_refine_never_worse(wep_small):
     nep, mats, fv, backward = wep_small
     lams, Q, info = iar_real_spmf(nep, sigma=-3 - 3.5j, maxit=18, neigs=4,
                                   tol=1e-2, dtype=jnp.float32,
-                                  errmeasure=backward, return_info=True)
+                                  errmeasure=backward, return_info=True,
+                                  return_solver=True)
     errs0 = np.array([backward(complex(lams[j]), np.asarray(Q[:, j]))
                       for j in range(len(lams))])
     lams2, Q2, errs = resinv_refine(mats, fv, info["solver"], lams, Q,
