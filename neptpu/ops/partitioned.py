@@ -650,10 +650,17 @@ class ShiftPlan:
     which terms are low-rank, the band offsets, the arrow border — depends
     only on the sparsity patterns, so this plan computes it once over the
     UNION bulk pattern and then produces ``(strips, offsets, Lc, Uc)`` for
-    any sigma by weight contraction: one einsum over stacked per-term
-    strips plus per-term scaling of the low-rank factors.  This is what
-    makes BATCHES of shifted factorizations (per-eigenvalue Newton
-    refinement, NLEIGS/contour node banks) cheap to assemble.
+    any sigma by weight contraction.  This is what makes BATCHES of shifted
+    factorizations (per-eigenvalue Newton refinement, NLEIGS/contour node
+    banks) cheap to assemble.
+
+    Storage is SPARSE on the union pattern: per-term data vectors mapped
+    onto the union nnz positions (``data_stack``, (nt, nnz_u) complex) plus
+    frozen index maps for the band-strip / border scatters.  The waveguide
+    SPMF carries 213 bulk terms (2 nz + 1 DtN expansion terms living on two
+    105 x 105 boundary blocks, reference ``waveguide/Waveguide.jl:131-174``)
+    — the earlier per-term DENSE strip/border stacks cost 8+ GB and ~140 s
+    to build there; the union-pattern form is ~270 MB and O(nnz) per shift.
     """
 
     def __init__(self, mats, fv, max_rank=None):
@@ -695,6 +702,8 @@ class ShiftPlan:
         if union is None:  # no bulk: the banded base would be singular
             self.ok = False
             return
+        union = union.tocsr()
+        union.sum_duplicates()
         split = arrow_split(union, max_rank)
         if split is None:
             self.ok = False
@@ -709,32 +718,39 @@ class ShiftPlan:
         self.offsets = tuple(int(o) for o in offs)
         self.b = max((abs(o) for o in self.offsets), default=0)
         m = self.m
-        # per-term band strips + border factors over the FROZEN structure
-        stack, X1s, Y2s = [], [], []
-        for i in bulk_idx:
-            coo = seq[i].tocoo()
-            d = coo.col - coo.row
-            inband = np.abs(d) <= self.b
-            strips = np.zeros((len(self.offsets), n), dtype=complex)
-            np.add.at(strips,
-                      (np.searchsorted(self.offsets, d[inband]),
-                       coo.row[inband]), coo.data[inband])
-            stack.append(strips)
-            if m:
-                X1 = np.zeros((n, m), dtype=complex)
-                Y2 = np.zeros((n, m), dtype=complex)
-                wide = ~inband
-                col_b = coo.col[wide] >= n - m
-                sel_w = wide.nonzero()[0][col_b]
-                X1[coo.row[sel_w], coo.col[sel_w] - (n - m)] = coo.data[sel_w]
-                sel_r = wide.nonzero()[0][~col_b]
-                Y2[coo.col[sel_r], coo.row[sel_r] - (n - m)] = coo.data[sel_r]
-                X1s.append(X1)
-                Y2s.append(Y2)
-        self.strips_stack = np.stack(stack) if stack else \
-            np.zeros((0, len(self.offsets), n))
-        self.X1s = np.stack(X1s) if m and X1s else None
-        self.Y2s = np.stack(Y2s) if m and Y2s else None
+        # per-term data on the FROZEN union pattern (canonical row-major
+        # order), one searchsorted per term, once
+        U = union.tocoo()
+        key_u = U.row.astype(np.int64) * n + U.col
+        nnz_u = len(key_u)
+        self.data_stack = np.zeros((len(bulk_idx), nnz_u), dtype=complex)
+        for t, i in enumerate(bulk_idx):
+            A = seq[i].tocsr()
+            A.sum_duplicates()
+            coo = A.tocoo()
+            key_i = coo.row.astype(np.int64) * n + coo.col
+            pos = np.searchsorted(key_u, key_i)
+            if len(key_i) and (pos.max() >= nnz_u
+                               or not np.array_equal(key_u[pos], key_i)):
+                raise AssertionError(
+                    "bulk term pattern escaped the union pattern")
+            self.data_stack[t, pos] = coo.data
+        # frozen scatter maps: union position -> band strip slot / border
+        d = U.col - U.row
+        inband = np.abs(d) <= self.b
+        ib = inband.nonzero()[0]
+        self._ib_pos = ib
+        self._band_slot = np.searchsorted(self.offsets, d[ib])
+        self._band_row = U.row[ib]
+        if m:
+            wide = (~inband).nonzero()[0]
+            col_b = U.col[wide] >= n - m
+            w1 = wide[col_b]                      # border columns -> X1
+            self._x1_pos = w1
+            self._x1_rc = (U.row[w1], U.col[w1] - (n - m))
+            w2 = wide[~col_b]                     # border rows -> Y2^T
+            self._y2_pos = w2
+            self._y2_rc = (U.col[w2], U.row[w2] - (n - m))
 
     def parts(self, sigma):
         """(strips, offsets, Lc, Uc) of M(sigma) — same contract as
@@ -745,17 +761,22 @@ class ShiftPlan:
             return None
         w = spmf_fun_scalars(self.fv, sigma)
         wb = w[self.bulk_idx] if self.bulk_idx else np.zeros(0, complex)
-        strips = np.tensordot(wb, self.strips_stack, axes=1) \
-            if len(wb) else np.zeros((len(self.offsets), self.n),
-                                     dtype=complex)
+        n, m = self.n, self.m
+        strips = np.zeros((len(self.offsets), n), dtype=complex)
+        if len(wb):
+            data = wb @ self.data_stack            # (nnz_u,) complex
+            np.add.at(strips, (self._band_slot, self._band_row),
+                      data[self._ib_pos])
         Ls = [w[i] * L for i, L, _ in self.lr]
         Us = [U for _, _, U in self.lr]
-        n, m = self.n, self.m
         if m:
             sel = np.zeros((n, m), dtype=complex)
             sel[n - m:, :] = np.eye(m)
-            X1 = np.tensordot(wb, self.X1s, axes=1)
-            Y2 = np.tensordot(wb, self.Y2s, axes=1)
+            X1 = np.zeros((n, m), dtype=complex)
+            Y2 = np.zeros((n, m), dtype=complex)
+            if len(wb):
+                X1[self._x1_rc] = data[self._x1_pos]
+                Y2[self._y2_rc] = data[self._y2_pos]
             if np.any(X1):
                 Ls.append(X1)
                 Us.append(sel)
