@@ -121,6 +121,7 @@ def _with_deadline(fn, seconds):
 
 
 def _backward_errmeasure(mats, fv):
+    from neptpu.solvers.refine import _TermOps
     from neptpu.solvers.spmf_real import _spmf_host_resnorm, spmf_fun_scalars
 
     fro = np.array([np.sqrt(np.abs(A.multiply(A.conj())).sum())
@@ -130,6 +131,17 @@ def _backward_errmeasure(mats, fv):
     def err(lam, q):
         return rn(lam, q) / float(np.abs(spmf_fun_scalars(fv, lam)) @ fro)
 
+    # batched form (newton_refine fast path): one stacked SpMM for a whole
+    # block of candidate pairs instead of nt SpMVs per pair
+    ops = _TermOps([A.tocsr() for A in mats], fv)
+
+    def err_batch(lams_v, Qm):
+        W = ops.weights(lams_v, 1)[:, 0]
+        r = np.linalg.norm(ops.contract(ops.apply(Qm), W), axis=0)
+        scale = np.abs(W).T @ fro
+        return r / scale
+
+    err.batch = err_batch
     return err
 
 
@@ -408,7 +420,7 @@ def main():
             # refine past the 1e-9 gate to the literal reference-oracle
             # floor (test/gun_native.jl runs quasinewton at tol 1e-11)
             tol_floor=1e-11,
-            refine_backend="chip", refine_batch=12)))
+            refine_backend="auto")))
         cpu_phases.append(("cpu", "gun_like", None))
     if os.environ.get("BENCH_WEP", "1") != "0":
         chip_phases.append(("chip", "wep", dict(
@@ -425,7 +437,7 @@ def main():
             # true-f32 scan GEMMs: the bf16 default raises the Krylov
             # noise floor and costs converged pairs on the WEP spectrum
             scan_precision="highest",
-            refine_backend=os.environ.get("BENCH_WEP_REFINE", "chip"))))
+            refine_backend=os.environ.get("BENCH_WEP_REFINE", "auto"))))
         cpu_phases.append(("cpu", "wep", None))
     if os.environ.get("BENCH_WEP_LARGE", "1") != "0":
         chip_phases.append(("chip", "wep_large", dict(
@@ -436,7 +448,7 @@ def main():
             sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
             maxit=100, neigs=8, tol=1e-5,
             scan_precision="highest",
-            refine_backend=os.environ.get("BENCH_WEP_REFINE", "chip"))))
+            refine_backend=os.environ.get("BENCH_WEP_REFINE", "auto"))))
         cpu_phases.append(("cpu", "wep_large", None))
     # ALL chip phases run before any CPU comparator: the comparators are
     # cheap when cached (benchmarks/cpu_ref_results.json) but a fresh run

@@ -27,7 +27,7 @@ import numpy as np
 import neptpu
 from neptpu.ops.partitioned import (InterleavedSMW, PartitionedBandedSolver,
                                     assemble_shift_parts,
-                                    complex_lowrank_to_interleaved)
+                                    complex_lowrank_to_half)
 from neptpu.parallel.spike import interleave_complex_banded
 from neptpu.solvers.spmf_real import collect_spmf_terms
 
@@ -61,9 +61,9 @@ def profile(name, make_nep, sigma):
         print(f"factor(run{run}): {tb - ta:.2f}s  "
               f"p={base.p} blk={base.blk} b={base.b}", flush=True)
         if Lc is not None:
-            Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
-            smw = InterleavedSMW(base, Ltil.astype(np.float32),
-                                 Util.astype(np.float32))
+            Lh, Uh = complex_lowrank_to_half(Lc, Uc)
+            smw = InterleavedSMW(base, Lh.astype(np.float32),
+                                 Uh.astype(np.float32))
         else:
             smw = InterleavedSMW(base)
         jax.block_until_ready(jax.tree_util.tree_leaves(smw.tree_flatten()[0]))

@@ -78,28 +78,28 @@ def main():
           f"batch_limit(p=8)={lim}")
 
     sig = lams + 1j * 1e-8 * np.maximum(np.abs(lams), 1.0)
-    t0 = time.perf_counter()
-    bs = BatchedShiftSMW(mats, fv, sig, p=8, plan=plan, ir=3)
-    t_build = time.perf_counter() - t0
-    print(f"[{t_build:7.2f}s] BatchedShiftSMW(S={S}, ir=3) "
-          f"timings={ {k: round(v, 2) for k, v in bs.timings.items()} }")
-
     rng = np.random.default_rng(0)
-    R = rng.standard_normal((nep.n, S))
-    for it in range(3):
-        t0 = time.perf_counter()
-        yre, yim = bs.solve_pairs(R, 0 * R)
-        jax.block_until_ready(yre)
-        print(f"[{time.perf_counter()-t0:7.2f}s] solve_pairs #{it}")
-    del bs, yre, yim
     import gc
 
-    gc.collect()
+    backends = os.environ.get("PROFILE_BACKENDS", "chip,host").split(",")
+    if "chip" in backends:
+        t0 = time.perf_counter()
+        bs = BatchedShiftSMW(mats, fv, sig, p=8, plan=plan, ir=3)
+        t_build = time.perf_counter() - t0
+        print(f"[{t_build:7.2f}s] BatchedShiftSMW(S={S}, ir=3) "
+              f"timings={ {k: round(v, 2) for k, v in bs.timings.items()} }")
+        R = rng.standard_normal((nep.n, S))
+        for it in range(3):
+            t0 = time.perf_counter()
+            yre, yim = bs.solve_pairs(R, 0 * R)
+            jax.block_until_ready(yre)
+            print(f"[{time.perf_counter()-t0:7.2f}s] solve_pairs #{it}")
+        del bs, yre, yim
+        gc.collect()
 
     # end-to-end newton_refine comparison, both backends, from perturbed
     # eigenvalue estimates (1e-6-class start like the real bench phase)
-    for backend in (os.environ.get("PROFILE_BACKENDS", "chip,host")
-                    .split(",")):
+    for backend in backends:
         Q = rng.standard_normal((nep.n, S)) + 1j * rng.standard_normal(
             (nep.n, S))
         Q /= np.linalg.norm(Q, axis=0, keepdims=True)

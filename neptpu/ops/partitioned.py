@@ -43,6 +43,8 @@ import numpy as np
 
 __all__ = [
     "csr_to_strips",
+    "rot_i",
+    "complex_lowrank_to_half",
     "complex_lowrank_to_interleaved",
     "interleave_pair",
     "deinterleave_pair",
@@ -73,6 +75,40 @@ def deinterleave_pair(x):
     """Interleaved (2n, ...) -> (re, im) pair of (n, ...)."""
     x2 = x.reshape((-1, 2) + x.shape[1:])
     return x2[:, 0], x2[:, 1]
+
+
+def rot_i(x):
+    """Row-interleaved real form of multiplication by ``i``: for ``x`` the
+    interleaved encoding of a complex block (2n[, k]), returns the encoding
+    of ``i`` times that block.  The interleaved form of any COMPLEX-linear
+    operator (the banded bulk, its inverse, the SMW correction) commutes
+    with this map — the structural fact that lets every tall-skinny SMW
+    operand carry R columns instead of 2R (see :func:`_smw_setup`)."""
+    x2 = x.reshape((-1, 2) + x.shape[1:])
+    return jnp.stack([-x2[:, 1], x2[:, 0]], axis=1).reshape(x.shape)
+
+
+def complex_lowrank_to_half(Lc, Uc):
+    """Complex rank-R factors (n, R) x2 with A = Lc Uc^T -> HALF real
+    factors (2n, R) x2 in the row-interleaved encoding.
+
+    The full real factors of :func:`complex_lowrank_to_interleaved` are
+    ``Ltil = [Lh, rot_i(Lh)]`` and ``Util = [Uh, rot_i(Uh)]`` with
+    ``Lh = interleave(Lc)``, ``Uh = interleave(conj(Uc))`` — the second R
+    columns are the rot_i images of the first, so only the halves are
+    stored and every solve/matvec reconstructs the rest with cheap row
+    swaps (2x fewer flops and bytes in all tall GEMMs and banded solves).
+    """
+    Lc = np.asarray(Lc)
+    Uc = np.asarray(Uc)
+    n, R = Lc.shape
+    Lh = np.zeros((2 * n, R), dtype=Lc.real.dtype)
+    Uh = np.zeros((2 * n, R), dtype=Uc.real.dtype)
+    Lh[0::2] = Lc.real
+    Lh[1::2] = Lc.imag
+    Uh[0::2] = Uc.real
+    Uh[1::2] = -Uc.imag
+    return Lh, Uh
 
 
 def complex_lowrank_to_interleaved(Lc, Uc):
@@ -451,18 +487,34 @@ class BlockTridiagSolver:
         return x[:, 0] if one_d else x
 
 
+def _smw_K(Xh, Uh, dtype=None):
+    """The 2R x 2R capacitance K = I + Util^T X from the HALF operands.
+
+    With Util = [Uh, rot_i(Uh)], X = [Xh, rot_i(Xh)] and rot_i^T = -rot_i:
+    K = [[I+P, Q], [-Q, I+P]], P = Uh^T Xh, Q = Uh^T rot_i(Xh) — two
+    (R, 2n) x (2n, R) GEMMs instead of one (2R, 2n) x (2n, 2R)."""
+    R = Xh.shape[1]
+    dt = dtype if dtype is not None else Xh.dtype
+    P = Uh.T @ Xh
+    Q = Uh.T @ rot_i(Xh)
+    A = jnp.eye(R, dtype=dt) + P
+    return jnp.block([[A, Q], [-Q, A]])
+
+
 @partial(jax.jit, static_argnames=("mode",))
-def _smw_setup(base, Ltil, Util, mode):
-    """X = B^-1 Ltil and the factored capacitance K = I + Util^T X, as ONE
-    compiled program: the eager per-op path costs 15+ s of tunnel dispatch
-    at gun/WEP scale, while one jitted program rides the persistent compile
-    cache and executes in well under a second warm."""
-    X = base.solve(Ltil)
-    K = jnp.eye(Util.shape[1], dtype=X.dtype) + Util.T @ X
+def _smw_setup(base, Lh, Uh, mode):
+    """Xh = B^-1 Lh and the factored capacitance (HALF operands, see
+    :func:`complex_lowrank_to_half`), as ONE compiled program: the eager
+    per-op path costs 15+ s of tunnel dispatch at gun/WEP scale, while one
+    jitted program rides the persistent compile cache and executes in well
+    under a second warm."""
+    Xh = base.solve(Lh)
+    K = _smw_K(Xh, Uh)
     if mode == "inv":
-        return X, jnp.linalg.inv(K), jnp.zeros((K.shape[0],), dtype=jnp.int32)
+        return Xh, jnp.linalg.inv(K), jnp.zeros((K.shape[0],),
+                                                dtype=jnp.int32)
     K_fac, K_piv = jax.scipy.linalg.lu_factor(K)
-    return X, K_fac, K_piv
+    return Xh, K_fac, K_piv
 
 
 @jax.tree_util.register_pytree_node_class
@@ -475,14 +527,20 @@ class InterleavedSMW:
         x = B^-1 f - X K^-1 (Util^T B^-1 f),   X = B^-1 Ltil,
         K = I + Util^T X   (factored once, 2R x 2R).
 
+    The tall operands are stored as HALVES (``Lh``/``Uh``/``Xh``, R columns
+    — see :func:`complex_lowrank_to_half`): the full ``Ltil = [Lh,
+    rot_i(Lh)]`` etc. are never materialized, every contraction uses the
+    rot_i row swap instead (2x fewer flops/bytes; exact, since B^-1
+    commutes with rot_i).
+
     Exposes ``solve_pair(zre, zim) -> (xre, xim)`` — the contract the IAR
     scan kernels use (``solvers/iar_real._step_fn``).
     """
 
-    def __init__(self, base, Ltil=None, Util=None, refine=None, _leaves=None,
+    def __init__(self, base, Lh=None, Uh=None, refine=None, _leaves=None,
                  _aux=None):
         if _leaves is not None:
-            (self.base, self.X, self.Util, self.Ltil, self.K_fac,
+            (self.base, self.X, self.Uh, self.Lh, self.K_fac,
              self.K_piv) = _leaves
             self.mode, self.refine = _aux
             return
@@ -494,17 +552,17 @@ class InterleavedSMW:
         # the f32 backward-error floor on the wep_large config)
         self.refine = int(refine) if refine is not None else (
             2 if self.mode == "inv" else 0)
-        if Ltil is None:
-            self.X = self.Util = self.Ltil = self.K_fac = self.K_piv = None
+        if Lh is None:
+            self.X = self.Uh = self.Lh = self.K_fac = self.K_piv = None
             return
-        Ltil = jnp.asarray(Ltil)
-        Util = jnp.asarray(Util)
-        X, K_fac, K_piv = _smw_setup(base, Ltil, Util, self.mode)
-        self.X, self.Util, self.Ltil = X, Util, Ltil
+        Lh = jnp.asarray(Lh)
+        Uh = jnp.asarray(Uh)
+        X, K_fac, K_piv = _smw_setup(base, Lh, Uh, self.mode)
+        self.X, self.Uh, self.Lh = X, Uh, Lh
         self.K_fac, self.K_piv = K_fac, K_piv
 
     def tree_flatten(self):
-        return ((self.base, self.X, self.Util, self.Ltil, self.K_fac,
+        return ((self.base, self.X, self.Uh, self.Lh, self.K_fac,
                  self.K_piv),
                 (self.mode, self.refine))
 
@@ -516,23 +574,39 @@ class InterleavedSMW:
     def n(self):
         return self.base.n // 2  # complex length
 
+    def _ut_pair(self, x):
+        """t = Util^T x over the half form: [Uh^T x; -Uh^T rot_i(x)]."""
+        return jnp.concatenate([self.Uh.T @ x, -(self.Uh.T @ rot_i(x))],
+                               axis=0)
+
+    def _x_apply(self, M, u):
+        """[M, rot_i(M)] @ u for tall half operand M (2n, R), u (2R[, k])."""
+        R = M.shape[1]
+        return M @ u[:R] + rot_i(M @ u[R:])
+
     def matvec(self, x):
         """y = M x = B x + Ltil (Util^T x)."""
         y = self.base.matvec(x)
         if self.X is not None:
-            y = y + self.Ltil @ (self.Util.T @ x)
+            one_d = x.ndim == 1
+            xc = x[:, None] if one_d else x
+            y2 = self._x_apply(self.Lh, self._ut_pair(xc))
+            y = y + (y2[:, 0] if one_d else y2)
         return y
 
     def _solve_once(self, f):
         g = self.base.solve(f)
         if self.X is None:
             return g
-        t = self.Util.T @ g
+        one_d = g.ndim == 1
+        gc = g[:, None] if one_d else g
+        t = self._ut_pair(gc)
         if self.mode == "inv":
             u = self.K_fac @ t
         else:
             u = jax.scipy.linalg.lu_solve((self.K_fac, self.K_piv), t)
-        return g - self.X @ u
+        c = self._x_apply(self.X, u)
+        return g - (c[:, 0] if one_d else c)
 
     def solve(self, f):
         x = self._solve_once(f)
@@ -637,8 +711,8 @@ def build_spmf_shift_solver(mats, fv, sigma, dtype=jnp.float32, p=16,
         base = PartitionedBandedSolver(rstrips.astype(rdt), roffs, p=p,
                                        mode=mode)
     if Lc is not None:
-        Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
-        return InterleavedSMW(base, Ltil.astype(rdt), Util.astype(rdt))
+        Lh, Uh = complex_lowrank_to_half(Lc, Uc)
+        return InterleavedSMW(base, Lh.astype(rdt), Uh.astype(rdt))
     return InterleavedSMW(base)
 
 
@@ -684,18 +758,28 @@ class ShiftPlan:
 
         self.lr = []  # (term index, L, Uc) with A_i = L @ Uc^T
         bulk_idx = []
-        union = None
-        for i, A in enumerate(seq):
+        bulk_elim = []  # zero-ELIMINATED copies: scipy's csr '+' may drop
+        union = None    # zero-valued positions, so union and per-term data
+        for i, A in enumerate(seq):  # must both use the eliminated patterns
             if A.nnz == 0:
                 continue
+            # classification stays on the AS-GIVEN pattern (aligned banks
+            # pad terms with explicit zeros; the padded support rightly
+            # keeps e.g. the WEP's 210 boundary-block terms in the bulk
+            # union, whose arrow border is rank-210 total — far better
+            # than 210 separate rank-105 low-rank factors)
             if support(A) <= max_rank:
                 L, U = low_rank_factors(A)
                 self.lr.append((i, np.asarray(L).astype(complex),
                                 np.conj(np.asarray(U)).astype(complex)))
             else:
                 bulk_idx.append(i)
+                B = A.copy()
+                B.eliminate_zeros()
+                B.sum_duplicates()
+                bulk_elim.append(B)
                 P = sp.csr_matrix(
-                    (np.abs(A.data), A.indices, A.indptr), shape=A.shape)
+                    (np.abs(B.data), B.indices, B.indptr), shape=B.shape)
                 union = P if union is None else union + P
         self.bulk_idx = bulk_idx
         self.ok = True
@@ -724,9 +808,7 @@ class ShiftPlan:
         key_u = U.row.astype(np.int64) * n + U.col
         nnz_u = len(key_u)
         self.data_stack = np.zeros((len(bulk_idx), nnz_u), dtype=complex)
-        for t, i in enumerate(bulk_idx):
-            A = seq[i].tocsr()
-            A.sum_duplicates()
+        for t, A in enumerate(bulk_elim):
             coo = A.tocoo()
             key_i = coo.row.astype(np.int64) * n + coo.col
             pos = np.searchsorted(key_u, key_i)
@@ -790,23 +872,23 @@ class ShiftPlan:
 
 @functools.lru_cache(maxsize=32)
 def _batched_setup_fn(offsets, p, blk, b, n2, mode):
-    """vmapped factor+SMW setup over a leading shift axis; returns batched
-    solver leaves."""
+    """vmapped factor+SMW setup over a leading shift axis (HALF low-rank
+    operands); returns batched solver leaves."""
     aux = (offsets, p, blk, b, n2, mode)
 
-    def one(strips, Ltil, Util):
+    def one(strips, Lh, Uh):
         leaves = _factor_partitioned(strips, offsets, p, blk, b, mode)
         fac, piv, V, W, r_fac, r_piv, DBC = leaves
         base = PartitionedBandedSolver.tree_unflatten(
             aux, (fac, piv, V, W, r_fac, r_piv, strips, DBC))
-        X = base.solve(Ltil)
-        K = jnp.eye(Util.shape[1], dtype=X.dtype) + Util.T @ X
+        Xh = base.solve(Lh)
+        K = _smw_K(Xh, Uh)
         if mode == "inv":
             K_fac = jnp.linalg.inv(K)
             K_piv = jnp.zeros((K.shape[0],), dtype=jnp.int32)
         else:
             K_fac, K_piv = jax.scipy.linalg.lu_factor(K)
-        return (fac, piv, V, W, r_fac, r_piv, DBC, X, K_fac, K_piv)
+        return (fac, piv, V, W, r_fac, r_piv, DBC, Xh, K_fac, K_piv)
 
     # sequential over shifts: a vmapped batched inverse materializes every
     # LU panel temp for every shift at once (OOM at gun scale)
@@ -838,14 +920,15 @@ def _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir):
     """Mixed-precision setup, SEQUENTIAL over shifts (lax.map — a vmapped
     batched inverse materializes every LU panel temp for every shift at
     once and OOMs HBM at gun scale): f32 block factorization, f64-IR base
-    solves, f64 SMW operands.  Returns batched leaves + the f64 capacitance
-    K (inverted on the HOST: K inherits the GLOBAL conditioning of
-    M(sigma) — at near-eigenvalue shifts kappa(K) ~ 1/dist, past what an
+    solves, f64 HALF SMW operands (R columns — the rot_i commutation trick,
+    :func:`complex_lowrank_to_half`).  Returns batched leaves + the f64
+    capacitance K (inverted on the HOST: K inherits the GLOBAL conditioning
+    of M(sigma) — at near-eigenvalue shifts kappa(K) ~ 1/dist, past what an
     on-device f32-seeded inverse can recover — while the banded bulk alone
     stays moderately conditioned and its f64-IR converges)."""
     aux = (offsets, p, blk, b, n2, mode)
 
-    def one(strips32, strips64bt, Ltil64, Util64):
+    def one(strips32, strips64bt, Lh64, Uh64):
         # the WHOLE body runs at matmul precision=highest: on TPU the
         # default demotes f32 GEMMs to single-pass bf16, and a bf16-quality
         # base solve makes the f64 iterative refinement DIVERGE
@@ -865,12 +948,11 @@ def _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir):
                         r.astype(jnp.float32)).astype(jnp.float64)
                 return x
 
-            X64 = bsolve64(Ltil64)
-            K64 = jnp.eye(Util64.shape[1], dtype=jnp.float64) \
-                + Util64.T @ X64
+            X64h = bsolve64(Lh64)
+            K64 = _smw_K(X64h, Uh64, dtype=jnp.float64)
         # DBC (dense f32 partition blocks, ~2 GB at gun scale) is NOT
         # returned: the ir solve path never calls the f32 matvec
-        return (fac, piv, V, W, r_fac, r_piv, D64, B64, C64, X64, K64)
+        return (fac, piv, V, W, r_fac, r_piv, D64, B64, C64, X64h, K64)
 
     return jax.jit(lambda s32, s64, lt, ut: jax.lax.map(
         lambda t: one(*t), (s32, s64, lt, ut)))
@@ -879,14 +961,15 @@ def _batched_setup_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir):
 @functools.lru_cache(maxsize=32)
 def _batched_solve_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir,
                          ir_outer):
-    """Per-shift mixed-precision solve: f64-IR banded base + f64 SMW with
-    the host-inverted capacitance, plus ``ir_outer`` full-system f64 IR
-    sweeps."""
+    """Per-shift mixed-precision solve: f64-IR banded base + f64 SMW (HALF
+    operands + rot_i) with the host-inverted capacitance, plus ``ir_outer``
+    full-system f64 IR sweeps."""
     aux = (offsets, p, blk, b, n2, mode)
 
     def one(leaves, zre, zim):
-        (fac, piv, V, W, r_fac, r_piv, D64, B64, C64, X64, Kinv64,
-         strips32, Ltil64, Util64) = leaves
+        (fac, piv, V, W, r_fac, r_piv, D64, B64, C64, X64h, Kinv64,
+         strips32, Lh64, Uh64) = leaves
+        R = X64h.shape[1]
         # DBC dummy: the solve path never touches the f32 matvec blocks
         dummy = jnp.zeros((1, 1, 1), dtype=jnp.float32)
         base = PartitionedBandedSolver.tree_unflatten(
@@ -900,14 +983,18 @@ def _batched_solve_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir,
                 x = x + base.solve(r.astype(jnp.float32)).astype(jnp.float64)
             return x
 
+        def ut_pair(x):
+            return jnp.concatenate([Uh64.T @ x, -(Uh64.T @ rot_i(x))])
+
         def full_solve(f):
             g = bsolve64(f)
-            u = Kinv64 @ (Util64.T @ g)
-            return g - X64 @ u
+            u = Kinv64 @ ut_pair(g)
+            return g - X64h @ u[:R] - rot_i(X64h @ u[R:])
 
         def full_mv(x):
             y = _banded_mv64(D64, B64, C64, x, nblk, bt, n2)
-            return y + Ltil64 @ (Util64.T @ x)
+            t = ut_pair(x)
+            return y + Lh64 @ t[:R] + rot_i(Lh64 @ t[R:])
 
         # matmul precision=highest throughout: the TPU default demotes f32
         # GEMMs to single-pass bf16, which makes the f64 IR diverge
@@ -919,7 +1006,33 @@ def _batched_solve_ir_fn(offsets, p, blk, b, n2, nblk, bt, mode, ir,
                 x = x + full_solve(f - full_mv(x))
         return deinterleave_pair(x)
 
-    return jax.jit(jax.vmap(one, in_axes=(0, 1, 1), out_axes=1))
+    # SEQUENTIAL over shifts (lax.map): vmapping the whole mixed-IR solve
+    # lets XLA batch the block-tridiag residual GEMMs across shifts and ir
+    # unrolls into multi-GB HLO temps (measured 11 GB at gun S=12) — the
+    # per-shift k=1 solves are tiny, so the sequential map costs nothing
+    def solve(leaves, Zre, Zim):
+        xre, xim = jax.lax.map(
+            lambda t: one(t[0], t[1], t[2]),
+            (leaves, Zre.T, Zim.T))
+        return xre.T, xim.T
+
+    return jax.jit(solve)
+
+
+#: canonical shift-batch sizes: every distinct batch size S traces and
+#: compiles its own setup/solve programs (lax.map/vmap specialize on S), so
+#: refinement rounds with varying candidate counts would each pay a remote
+#: AOT compile — padding to a few canonical sizes makes the persistent
+#: compile cache hit across rounds AND runs
+BATCH_SIZES = (1, 2, 3, 4, 6, 8, 10, 12, 16, 20, 24, 32, 48, 64)
+
+
+def canonical_batch(k):
+    """Smallest canonical batch size >= k (k itself past the table)."""
+    for c in BATCH_SIZES:
+        if c >= k:
+            return c
+    return int(k)
 
 
 class BatchedShiftSMW:
@@ -930,14 +1043,27 @@ class BatchedShiftSMW:
     ``solve_pairs(Rre, Rim)``: (n, S) split-channel right-hand sides, pair
     ``j`` solved against shift ``j``'s factorization (the per-eigenvalue
     Newton-refinement contract); one jitted dispatch.
+
+    ``pad_to_canonical=True`` pads the shift batch to the next size in
+    :data:`BATCH_SIZES` (duplicating the last shift) and strips the padding
+    inside ``solve_pairs`` — callers see their own S while the compiled
+    programs see only canonical shapes.
     """
 
     def __init__(self, mats, fv, sigmas, dtype=jnp.float32, p=8,
-                 mode="inv", plan=None, refine=1, ir=0):
+                 mode="inv", plan=None, refine=1, ir=0,
+                 pad_to_canonical=False):
         import time as _time
 
         self.timings = {}
         _t0 = _time.perf_counter()
+        sigmas = np.asarray(sigmas)
+        self.S_real = len(sigmas)
+        if pad_to_canonical and len(sigmas):
+            S_pad = canonical_batch(len(sigmas))
+            if S_pad > len(sigmas):
+                sigmas = np.concatenate(
+                    [sigmas, np.repeat(sigmas[-1:], S_pad - len(sigmas))])
         rdt = np.dtype(dtype)
         if np.issubdtype(rdt, np.complexfloating):
             rdt = np.float64 if rdt == np.complex128 else np.float32
@@ -956,9 +1082,9 @@ class BatchedShiftSMW:
             if Lc is None:
                 Lc = np.zeros((plan.n, 1), dtype=complex)
                 Uc = np.zeros((plan.n, 1), dtype=complex)
-            Ltil, Util = complex_lowrank_to_interleaved(Lc, Uc)
-            Lt_list.append(Ltil)
-            Ut_list.append(Util)
+            Lh, Uh = complex_lowrank_to_half(Lc, Uc)
+            Lt_list.append(Lh)
+            Ut_list.append(Uh)
         self.timings["host_assemble"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         n2 = rs_list[0].shape[1]
@@ -1032,6 +1158,23 @@ class BatchedShiftSMW:
         """Per-pair shifted solves: column j against shift j (one jitted
         vmapped dispatch).  Rre/Rim: (n, S).  With ``ir`` set, the result
         carries f64-quality accuracy from the f32 factorization."""
+        Rre = np.asarray(Rre)
+        Rim = np.asarray(Rim)
+        S_pad = (self.fac.shape[0] if hasattr(self, "fac") else
+                 Rre.shape[1])
+        if Rre.shape[1] != self.S_real:
+            raise ValueError(
+                f"expected {self.S_real} RHS columns, got {Rre.shape[1]}")
+        if S_pad > self.S_real:  # canonical padding: zero RHS, sliced off
+            z = np.zeros((Rre.shape[0], S_pad - self.S_real), Rre.dtype)
+            Rre = np.concatenate([Rre, z], axis=1)
+            Rim = np.concatenate([Rim, z], axis=1)
+        xre, xim = self._solve_pairs_padded(Rre, Rim)
+        if S_pad > self.S_real:
+            xre, xim = xre[:, :self.S_real], xim[:, :self.S_real]
+        return xre, xim
+
+    def _solve_pairs_padded(self, Rre, Rim):
         offsets, p, blk, b, n2, mode = self.aux
         if self.ir:
             if self._solve is None:

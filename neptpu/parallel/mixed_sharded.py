@@ -268,6 +268,8 @@ def iar_real_spmf_sharded(nep, mesh, sigma=0.0, gamma=1.0, maxit=30,
     n = mats[0].shape[0]
     m = int(maxit)
     dt = jnp.dtype(dtype)
+    if dt == np.float64 and not jax.config.jax_enable_x64:
+        dt = jnp.dtype(jnp.float32)  # see iar_sharded: no truncation spam
     rdt = np.dtype(dt)
     if tol is None:
         tol = 1e4 * float(jnp.finfo(dt).eps)

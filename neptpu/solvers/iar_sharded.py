@@ -166,6 +166,10 @@ def iar_real_sharded(nep, mesh, sigma=0.0, gamma=1.0, maxit=30, neigs=6,
     n = nep.n
     m = int(maxit)
     dt = jnp.dtype(dtype)
+    if dt == np.float64 and not jax.config.jax_enable_x64:
+        # key the constant dtype off the x64 config instead of letting JAX
+        # truncate each f64 request with a UserWarning per constant
+        dt = jnp.dtype(jnp.float32)
     if tol is None:
         tol = 1e4 * float(jnp.finfo(dt).eps)
     ndev = int(mesh.shape[axis])

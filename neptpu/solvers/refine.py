@@ -55,20 +55,55 @@ def spmf_fun_derivs(fv, lam, k=2):
     return D
 
 
-def _refine_batch_limit(plan, p=8, budget_bytes=3.2e9):
+class _TermOps:
+    """Batched host-side SPMF residual machinery for the refinement sweeps.
+
+    The naive per-pair form costs nt SpMVs per pair per quantity (the WEP
+    carries 213 terms — tens of thousands of scipy calls per sweep); this
+    stacks all terms into ONE tall CSR so each sweep pays a single
+    C-level SpMM ``A_all @ Q`` -> (nt, n, k), then contracts against
+    per-pair derivative weights with one einsum."""
+
+    def __init__(self, csr, fv):
+        import scipy.sparse as sp
+
+        self.fv = fv
+        self.nt = len(csr)
+        self.n = csr[0].shape[0]
+        self.A_all = sp.vstack(csr, format="csr")
+
+    def weights(self, lams, nder=1):
+        """W[i, d, j] = f_i^{(d)}(lams[j]) — complex128 (nt, nder, k)."""
+        W = np.empty((self.nt, nder, len(lams)), dtype=complex)
+        for j, la in enumerate(lams):
+            W[:, :, j] = spmf_fun_derivs(self.fv, la, nder)
+        return W
+
+    def apply(self, Q):
+        """(nt, n, k) stack of per-term products A_i @ Q, one SpMM."""
+        return np.asarray(self.A_all @ Q).reshape(self.nt, self.n, -1)
+
+    @staticmethod
+    def contract(T, w):
+        """sum_i w[i, j] * T[i, :, j] -> (n, k)."""
+        return np.einsum("tnk,tk->nk", T, w)
+
+
+def _refine_batch_limit(plan, p=8, budget_bytes=6.0e9):
     """Largest shift-batch whose solver state fits the HBM budget.
 
     Per-shift footprint of :class:`BatchedShiftSMW` (ir mode): f32 block
-    inverses + reduced inverse, f64 block-tridiag matvec form, f64 SMW
-    operands (X, Ltil, Util)."""
+    inverses + reduced inverse, f64 block-tridiag matvec form, f64 HALF
+    SMW operands (Xh, Lh, Uh — R columns each, the rot_i commutation
+    halving)."""
     n2 = 2 * plan.n
     b2 = 2 * max(plan.b, 1) + 1
     blk = -(-n2 // p)
     rank = sum(L.shape[1] for _, L, _ in plan.lr) + 2 * plan.m
-    R2 = max(2 * rank, 2)
+    Rh = max(rank, 1)
     per = (4 * (p * blk * blk + (2 * b2 * p) ** 2)      # fac + reduced
            + 8 * 3 * n2 * b2                            # D64/B64/C64
-           + 8 * 3 * n2 * R2                            # X64, Ltil64, Util64
+           + 8 * 3 * n2 * Rh                            # X64h, Lh64, Uh64
            + 12 * n2 * b2)                              # strips (f32 + f64)
     return max(1, int(budget_bytes // per))
 
@@ -118,12 +153,16 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
 
         if plan is None:
             plan = ShiftPlan(mats, fv)
-        # the chip batch pays one compiled-program set per distinct batch
-        # size; when HBM forces multiple chunks, the exact host splu
-        # (cheap at banded+low-rank sparsity) wins on wall time
-        backend = "chip" if (plan.ok and
-                             _refine_batch_limit(plan, p=p) >= k) \
-            else "host"
+        # Measured crossover (TPU v5e via tunnel, benchmarks/profile_refine
+        # .py): at gun scale (n=9956, R=84) host splu + batched sweeps run
+        # 12 shifts in ~1.2 s vs ~16 s for the chip batch; at WEP scale
+        # (n=11655, R=420) ~11 s vs ~66 s — the per-shift chip
+        # factorization pays R-column f64-IR solves plus ~85 MB/s tunnel
+        # transfers, while SuperLU factors the banded+border pattern in
+        # ~0.1-1.5 s/shift.  The chip batch wins only where a host sparse
+        # LU stops being tractable (n past ~10^5, or no host fallback);
+        # until then auto = host.
+        backend = "chip" if (plan.ok and 2 * plan.n > 2e5) else "host"
     # memory-aware chunking: at WEP scale each shift's solver state is
     # ~1 GB of HBM; process the pairs in batches that fit, each batch with
     # its OWN factorization (built, used for all sweeps, freed)
@@ -133,7 +172,14 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         if plan is None:
             plan = ShiftPlan(mats, fv)
         if max_batch is None:
-            max_batch = _refine_batch_limit(plan, p=p)
+            from ..ops.partitioned import BATCH_SIZES
+
+            # largest CANONICAL size within the HBM budget: chunk sizes
+            # are padded to canonical program shapes (compile-cache reuse),
+            # so the padded size must be what fits
+            lim = _refine_batch_limit(plan, p=p)
+            fits = [c for c in BATCH_SIZES if c <= lim]
+            max_batch = fits[-1] if fits else lim
         if k > max_batch:
             import gc
 
@@ -156,16 +202,30 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
     if backend == "host":
         # exact scipy splu per shift — the reference's own per-eigenvalue
         # UMFPACK pattern (method_resinv.jl); at banded+low-rank sparsity a
-        # factorization costs ~1 s, amortized over all sweeps
+        # factorization costs ~0.1-1.5 s, amortized over all sweeps
+        import scipy.sparse as sp
         import scipy.sparse.linalg as spla
+
+        # aligned banks give every term an identical pattern: the weighted
+        # sum is then ONE (nt,) @ (nt, nnz) GEMV instead of nt CSR adds
+        A0 = csr[0]
+        aligned = all(
+            A.nnz == A0.nnz and np.array_equal(A.indices, A0.indices)
+            and np.array_equal(A.indptr, A0.indptr) for A in csr[1:])
+        if aligned:
+            Dstack = np.stack([A.data.astype(complex) for A in csr])
 
         fallback = {}
         for j in range(k):
             w = spmf_fun_derivs(fv, sig_f[j], 1)[:, 0]
-            M = None
-            for wi, A in zip(w, csr):
-                T = A.astype(complex) * wi
-                M = T if M is None else M + T
+            if aligned:
+                M = sp.csr_matrix((w @ Dstack, A0.indices, A0.indptr),
+                                  shape=A0.shape)
+            else:
+                M = None
+                for wi, A in zip(w, csr):
+                    T = A.astype(complex) * wi
+                    M = T if M is None else M + T
             fallback[j] = spla.splu(M.tocsc())
         bsolver = _HostBatchSolver(fallback, n)
     elif bsolver is None:
@@ -175,7 +235,7 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         # ``shift_rel`` bounds kappa at ~1/shift_rel while the per-sweep
         # contraction (offset/gap) stays tiny.
         bsolver = BatchedShiftSMW(mats, fv, sig_f, dtype=dtype, p=p,
-                                  plan=plan, ir=ir)
+                                  plan=plan, ir=ir, pad_to_canonical=True)
     if backend == "host":
         pass  # every pair already routed through its exact splu
     else:
@@ -186,59 +246,62 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
         # splu — exact, and cheap for banded+low-rank sparsity
         fallback = _validate_shifts(csr, fv, sig_f, bsolver)
 
-    def meas(lam, q):
-        if errmeasure is not None:
-            return float(errmeasure(lam, q))
-        D = spmf_fun_derivs(fv, lam, 1)[:, 0]
-        y = np.zeros(n, dtype=complex)
-        for wi, A in zip(D, csr):
-            y = y + wi * (A @ q)
-        return float(np.linalg.norm(y))
+    ops = _TermOps(csr, fv)
+    # an errmeasure callable may carry a BATCHED form under ``.batch``
+    # (lams_vec, Q_block) -> errs_vec; without one, scalar calls loop
+    err_batch = getattr(errmeasure, "batch", None)
 
-    errs = np.array([meas(lams[j], Q[:, j]) for j in range(k)])
+    def meas_vec(lams_v, Qm):
+        """Backward errors for a batch of pairs (columns of Qm)."""
+        if err_batch is not None:
+            return np.asarray(err_batch(lams_v, Qm), dtype=float)
+        if errmeasure is not None:
+            return np.array([float(errmeasure(lams_v[j], Qm[:, j]))
+                             for j in range(len(lams_v))])
+        T = ops.apply(Qm)
+        W = ops.weights(lams_v, 1)
+        return np.linalg.norm(ops.contract(T, W[:, 0]), axis=0)
+
+    errs = meas_vec(lams, Q)
     for _ in range(int(nsweeps)):
         if tol is not None and np.all(errs < tol):
             break
-        R = np.zeros((n, k), dtype=complex)
-        cand = lams.copy()
-        for j in range(k):
-            q = Q[:, j]
-            D = spmf_fun_derivs(fv, lams[j], 2)
-            Mq = np.zeros(n, dtype=complex)
-            Mpq = np.zeros(n, dtype=complex)
-            for i, A in enumerate(csr):
-                Aq = A @ q
-                Mq += D[i, 0] * Aq
-                Mpq += D[i, 1] * Aq
-            # least-squares eigenvalue update lam = argmin ||M(lam) q||:
-            # never overshoots (the one-sided Rayleigh step's error is
-            # O(resnorm) with a right vector only, which stalls the
-            # iteration at small residuals)
-            denom = np.vdot(Mpq, Mpq)
-            if denom != 0:
-                cand[j] = lams[j] - np.vdot(Mpq, Mq) / denom
-                Dp = spmf_fun_derivs(fv, cand[j], 2)[:, 1]
-                Mpq = np.zeros(n, dtype=complex)
-                for i, A in enumerate(csr):
-                    Mpq += Dp[i] * (A @ q)
-            R[:, j] = Mpq  # inverse-iteration RHS: M'(lam) q
+        T = ops.apply(Q)                       # (nt, n, k), one SpMM
+        W = ops.weights(lams, 2)
+        Mq = ops.contract(T, W[:, 0])
+        Mpq = ops.contract(T, W[:, 1])
+        # least-squares eigenvalue update lam = argmin ||M(lam) q||:
+        # never overshoots (the one-sided Rayleigh step's error is
+        # O(resnorm) with a right vector only, which stalls the
+        # iteration at small residuals)
+        denom = np.einsum("nk,nk->k", np.conj(Mpq), Mpq).real
+        num = np.einsum("nk,nk->k", np.conj(Mpq), Mq)
+        step = np.where(denom > 0, num / np.where(denom > 0, denom, 1.0), 0)
+        cand = lams - step
+        # inverse-iteration RHS at the UPDATED eigenvalues: M'(cand) q
+        Wc = ops.weights(cand, 2)
+        R = ops.contract(T, Wc[:, 1])
         yre, yim = bsolver.solve_pairs(R.real, R.imag)
         Y = np.asarray(yre, dtype=np.float64) \
             + 1j * np.asarray(yim, dtype=np.float64)
         for j, lu in fallback.items():
             Y[:, j] = lu.solve(R[:, j])
         newQ = Y / np.linalg.norm(Y, axis=0, keepdims=True)
-        for j in range(k):
-            # accept the best of (new lam, new q) / (old lam, new q) /
-            # (new lam, old q); never worse than the current pair
-            for la, qq in ((cand[j], newQ[:, j]), (lams[j], newQ[:, j]),
-                           (cand[j], Q[:, j])):
-                e = meas(la, qq)
-                if e < errs[j]:
-                    lams[j] = la
-                    Q[:, j] = qq
-                    errs[j] = e
-                    break
+        # accept the first improving combo of (new lam, new q) /
+        # (old lam, new q) / (new lam, old q), per pair; never worse.
+        # Each combo is measured BATCHED, later combos only on the pairs
+        # the earlier ones did not improve.
+        pend = np.arange(k)
+        for li, Qi in ((cand, newQ), (lams.copy(), newQ), (cand, Q.copy())):
+            if not len(pend):
+                break
+            e = meas_vec(li[pend], Qi[:, pend])
+            hit = e < errs[pend]
+            idx = pend[hit]
+            lams[idx] = li[idx]
+            Q[:, idx] = Qi[:, idx]
+            errs[idx] = e[hit]
+            pend = pend[~hit]
     # stragglers (a pair whose first-pass shift was too far off — a poorly
     # converged Ritz value can sit a whole gap away from the eigenvalue it
     # belongs to) get up to two more passes, each with a FRESH
@@ -290,19 +353,17 @@ def _validate_shifts(csr, fv, sig_f, bsolver, rel_tol=1e-6, seed=123):
     yre, yim = bsolver.solve_pairs(probe, np.zeros_like(probe))
     Y = np.asarray(yre, dtype=np.float64) \
         + 1j * np.asarray(yim, dtype=np.float64)
+    ops = _TermOps(csr, fv)
+    W = ops.weights(sig_f, 1)[:, 0]          # (nt, k)
+    My = ops.contract(ops.apply(Y), W)       # batched residual matvecs
+    rel = np.linalg.norm(My - probe, axis=0) / np.linalg.norm(probe, axis=0)
     fallback = {}
-    for j in range(k):
-        w = spmf_fun_derivs(fv, sig_f[j], 1)[:, 0]
-        My = np.zeros(n, dtype=complex)
-        for wi, A in zip(w, csr):
-            My += wi * (A @ Y[:, j])
-        rel = np.linalg.norm(My - probe[:, j]) / np.linalg.norm(probe[:, j])
-        if not np.isfinite(rel) or rel > rel_tol:
-            M = None
-            for wi, A in zip(w, csr):
-                T = A.astype(complex) * wi
-                M = T if M is None else M + T
-            fallback[j] = spla.splu(M.tocsc())
+    for j in np.nonzero(~np.isfinite(rel) | (rel > rel_tol))[0]:
+        M = None
+        for wi, A in zip(W[:, j], csr):
+            T = A.astype(complex) * wi
+            M = T if M is None else M + T
+        fallback[int(j)] = spla.splu(M.tocsc())
     return fallback
 
 
