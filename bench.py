@@ -232,14 +232,18 @@ def bench_time_to_tol(key, make_nep, sigma, gamma=1.0, maxit=60, neigs=10,
     Q = np.asarray(Q)
     errs0 = np.array([backward(complex(lams[j]), Q[:, j])
                       for j in range(len(lams))])
-    reps = cluster_candidates(lams, errs0)
+    # keep k_target + margin best clusters: every extra candidate costs a
+    # per-shift factorization, and beyond ~1.5x the target they are
+    # duplicate-cluster losers, not new eigenvalues
+    reps = cluster_candidates(lams, errs0, keep=k_target + 6)
     lams, Q = lams[reps], Q[:, reps]
     k_candidates = int(len(reps))
     lams, Q, errs = newton_refine(
         mats, fv, lams, Q, nsweeps=3,
         tol=tol_floor if tol_floor is not None else tol_refined,
         errmeasure=backward, dtype=jnp.float32, ir=3, shift_rel=1e-8,
-        backend=refine_backend, max_batch=refine_batch)
+        backend=refine_backend, max_batch=refine_batch,
+        target_distinct=k_target)
     wall = time.perf_counter() - t_start
     # converged = DISTINCT eigenpairs below the refined tolerance (several
     # marginal Ritz pairs can polish onto the same eigenvalue)

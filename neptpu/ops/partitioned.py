@@ -1052,7 +1052,7 @@ class BatchedShiftSMW:
 
     def __init__(self, mats, fv, sigmas, dtype=jnp.float32, p=8,
                  mode="inv", plan=None, refine=1, ir=0,
-                 pad_to_canonical=False):
+                 pad_to_canonical=False, cost_only=False):
         import time as _time
 
         self.timings = {}
@@ -1147,6 +1147,18 @@ class BatchedShiftSMW:
             self.timings["kinv_host"] = _time.perf_counter() - _t0
             return
         setup = _batched_setup_fn(offsets, p, blk, b, n2, mode)
+        if cost_only:
+            # XLA-measured cost of the batched factorization program (the
+            # multichip dryrun's refine-stage scaling model): flops/bytes
+            # from the compiled module, no execution
+            ca = setup.lower(strips_b, Ltil_b, Util_b).compile() \
+                .cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            self.cost = {"flops": float(ca.get("flops", 0.0)),
+                         "bytes": float(ca.get("bytes accessed", 0.0)),
+                         "S": int(self.S_real)}
+            return
         out = setup(strips_b, Ltil_b, Util_b)
         (self.fac, self.piv, self.V, self.W, self.r_fac, self.r_piv,
          self.DBC, self.X, self.K_fac, self.K_piv) = out

@@ -111,7 +111,8 @@ def _refine_batch_limit(plan, p=8, budget_bytes=6.0e9):
 def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
                   errmeasure=None, dtype=None, p=16, bsolver=None,
                   plan=None, ir=0, shift_rel=1e-8, return_solver=False,
-                  max_batch=None, backend="chip", _second_pass=False):
+                  max_batch=None, backend="chip", target_distinct=None,
+                  _second_pass=False):
     """Per-pair nonlinear inverse iteration against a BATCHED per-shift
     factorization — reference-class floors (1e-10+) from f32 chip solves.
 
@@ -307,10 +308,23 @@ def newton_refine(mats, fv, lams, Q, *, nsweeps=2, tol=None,
     # belongs to) get up to two more passes, each with a FRESH
     # factorization at the now-much-better eigenvalue estimates — the
     # refactor restores the tiny offset/gap contraction
+    def _distinct_done():
+        """``target_distinct`` DISTINCT pairs already below tol: stragglers
+        are duplicate-cluster losers, not missing eigenvalues — stop."""
+        if target_distinct is None:
+            return False
+        good = np.nonzero(errs < tol)[0]
+        sel = []
+        for j in good[np.argsort(errs[good])]:
+            if all(abs(lams[j] - lams[i]) > 1e-7 * max(1.0, abs(lams[j]))
+                   for i in sel):
+                sel.append(j)
+        return len(sel) >= int(target_distinct)
+
     passes = 0
     max_passes = 4 if backend == "host" else 2  # host refactors are cheap
     while (tol is not None and not _second_pass and passes < max_passes
-           and np.any(errs >= tol)):
+           and np.any(errs >= tol) and not _distinct_done()):
         bad = np.nonzero(errs >= tol)[0]
         lb, Qb, eb = newton_refine(
             mats, fv, lams[bad], Q[:, bad], nsweeps=nsweeps, tol=tol,
