@@ -449,7 +449,14 @@ def main():
             make_nep=lambda: __import__("neptpu").nep_gallery(
                 "waveguide", nx=119, nz=115,
                 benchmark_problem="JARLEBRING", neptype="SPMF"),
-            sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j],
+            # 4th shift (-2.1-2.4j, on the spectral arc between the outer
+            # pair): the finer grid converges fewer pairs per shift within
+            # maxit (k_done hits 100 here vs early-exit at 40 on the small
+            # WEP), and 3-shift coverage left only 8-9 DISTINCT refined
+            # pairs across validation runs — the extra shift makes >= 10
+            # deterministic (VERDICT r4 task: structural fix, not
+            # refine-set uncapping)
+            sigma=[-3 - 3.5j, -4.5 - 4.5j, -1.2 - 1.6j, -2.1 - 2.4j],
             maxit=100, neigs=8, tol=1e-5,
             scan_precision="highest",
             refine_backend=os.environ.get("BENCH_WEP_REFINE", "auto"))))

@@ -434,6 +434,10 @@ def run_iar_real(bank, m, Cre, Cim, id_coeff, v, lu_piv, dt, *, sigma, gamma,
     time-to-tolerance pays only for the steps it needs.  Returns
     ``(lams, Q, info)`` over the converged pairs, residual-sorted.
     """
+    if jnp.dtype(dt) == np.float64 and not jax.config.jax_enable_x64:
+        # key constant dtypes off the x64 config: JAX would truncate each
+        # f64 request to f32 with a UserWarning per constant
+        dt = jnp.dtype(jnp.float32)
     solver = as_pair_solver(lu_piv)
     if hasattr(solver, "astype"):
         solver = solver.astype(dt)
