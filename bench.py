@@ -370,20 +370,34 @@ def bench_spmv(result, n_rep=5):
     # self-normalizing roofline: the kernel is HBM-bound, so its ceiling is
     # the MEASURED stream rate in the SAME run/tunnel/runtime — the ratio
     # separates a kernel regression from environment drift across rounds.
-    # Stream step: elementwise copy+scale over the kernel's compulsory
-    # traffic volume (read + write); DIA-kernel traffic per apply: strip
-    # reads (nnz*4B) + W read (n*m*4B) + y write (n*4B).
-    S0 = jnp.asarray(rng.standard_normal(
-        (nnz_total + n * m + n) // 2).astype(np.float32))
+    #
+    # Measurement rules, settled by a clean-host probe in r5
+    # (benchmarks/README.md "Roofline accounting"):
+    #  * per-dispatch overhead on the tunnel is ~190 us/step but it
+    #    OVERLAPS device execution (slope = max(dispatch, device), not a
+    #    sum) — so NOTHING may be subtracted from a chain slope that is
+    #    already device-bound.  Subtracting a dispatch baseline reported
+    #    1.2-1.4 TB/s on a part whose two independent stream sizes agree
+    #    on ~655 GB/s.
+    #  * therefore the roofline keys use RAW slopes with FULL traffic
+    #    accounting (kernel + chain scaffold), while `value` keeps the
+    #    r1-protocol t_feed-subtracted rate for cross-round comparability
+    #    (it overstates absolute nnz/s; the raw key below is the bound).
+    S0 = jnp.asarray(rng.standard_normal(64 * 1024 * 1024).astype(np.float32))
 
     @jax.jit
     def stream_step(x):
         return x * np.float32(1.0000001)
 
-    t_stream = max(chain_slope(stream_step, S0[:, None]) - t_feed, 1e-9)
+    t_stream = max(chain_slope(stream_step, S0[:, None]), 1e-9)
     stream_gbs = 2 * 4 * S0.shape[0] / t_stream / 1e9
-    traffic = 4 * (nnz_total + n * m + n)
-    kernel_gbs = traffic / (nnz_total / med) / 1e9
+    # raw-slope accounting: one step's program moves the kernel traffic
+    # (strips nnz*4 + W n*m*4 + y n*4) PLUS the feed scaffold's
+    # (re-read W n*m*4 + read y n*4 + write W' n*m*4)
+    t_step_raw = chain_slope(step_dia, W0)
+    raw_rate = nnz_total / t_step_raw
+    traffic_full = 4 * (nnz_total + 2 * (n * m) + n) + 4 * (n * m + n)
+    kernel_gbs = traffic_full / t_step_raw / 1e9
     result.update({
         "metric": "fused_mlincomb_spmv_nnz_per_s_per_chip",
         "value": float(f"{med:.4g}"),
@@ -392,6 +406,7 @@ def bench_spmv(result, n_rep=5):
         "spmv_repeats": int(n_rep),
         "spmv_min": float(f"{rates[0]:.4g}"),
         "spmv_max": float(f"{rates[-1]:.4g}"),
+        "spmv_nnz_per_s_raw_slope": float(f"{raw_rate:.4g}"),
         "spmv_stream_bw_gbs": float(f"{stream_gbs:.4g}"),
         "spmv_kernel_bw_gbs": float(f"{kernel_gbs:.4g}"),
         "spmv_frac_of_stream_roofline":
@@ -467,13 +482,21 @@ def main():
     # the driver window behind a comparator
     phases = chip_phases + cpu_phases
 
+    # wep_large COLD (empty .jax_cache_tpu) measures ~550 s: ~240 s warm
+    # work + ~300 s of one-time XLA compiles for its n=13915-shaped
+    # programs.  600 s leaves no margin — the r5 cold validation run hit
+    # _PhaseTimeout exactly here — so the largest phase gets 1.5x.
+    phase_budget = {"wep_large": int(
+        os.environ.get("BENCH_WEP_LARGE_BUDGET_S", max(900, budget)))}
+
     for kind, key, cfg in phases:
         if kind == "cpu" and os.environ.get("BENCH_CPU", "1") == "0":
             continue
         try:
             if kind == "chip":
                 result.update(_with_deadline(
-                    lambda: bench_time_to_tol(**cfg), budget))
+                    lambda: bench_time_to_tol(**cfg),
+                    phase_budget.get(key, budget)))
             else:
                 # the CPU f64 references genuinely take 7-9 minutes; give
                 # them their own budget so the comparator records the true

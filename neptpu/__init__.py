@@ -55,6 +55,9 @@ from .ops.linsolve import (
     GMRESLinSolver,
     GMRESLinSolverCreator,
     LinSolver,
+    LinSolverCreator,
+    SparseFactorizeLinSolver,
+    SparseFactorizeLinSolverCreator,
     create_linsolver,
     lin_solve,
 )

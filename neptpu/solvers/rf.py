@@ -34,11 +34,17 @@ def _rf_scalar_newton(nep, x, solver, y, lam0, dtype):
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     one = jnp.ones((1,))
-    while abs(dlam) > solver.tol and count < solver.maxit:
+    # np.abs on complex128 returns inf on hypot overflow where Python's
+    # abs() raises OverflowError (seen when y^H M'(lam) x degenerates and
+    # a step explodes through exp-dominated terms, e.g. resinv on DEPs)
+    while np.abs(np.complex128(dlam)) > solver.tol and count < solver.maxit:
         count += 1
         z1 = compute_Mlincomb(nep, lam, x[:, None], one)
         z2 = compute_Mlincomb(nep, lam, x[:, None], one, startder=1)
         dlam = complex(-jnp.vdot(y, z1) / jnp.vdot(y, z2))
+        if not (np.isfinite(dlam.real) and np.isfinite(dlam.imag)):
+            count = solver.maxit  # divergence: report non-convergence
+            break
         lam = lam + dlam
     if count == solver.maxit and not solver.bad_solution_allowed:
         from ..core.exceptions import NoConvergenceException
