@@ -8,6 +8,7 @@ from .lowrank_sum import schrodinger_movebc
 from .waveguide import WEP_FD, WEPLinSolverCreator, wep_gallery
 from .periodic_dde import periodic_dde_gallery
 from .bem import bem_fichera
+from .chebdiff import cheb4c, chebdif, orr_sommerfeld
 from .dtn_dimer import load_dtn_dimer
 from .nlevp_bridge import nlevp_gallery_import
 from .nlevp import (
@@ -52,6 +53,7 @@ GALLERY = {
     "periodicdde": periodic_dde_gallery,
     "bem_fichera": bem_fichera,
     "dtn_dimer": load_dtn_dimer,
+    "orr_sommerfeld": orr_sommerfeld,
 }
 
 
