@@ -48,6 +48,15 @@ def orthogonalize_and_normalize(V, w, method=None):
     """
     if method is None:
         method = DGKS()
+    if not isinstance(method, (DGKS, ClassicalGS, ModifiedGS)):
+        # user-supplied orthogonalization (reference: custom
+        # OrthogonalizationMethod dispatch, test/tiar.jl:6-17): any
+        # callable with the same (V, w) -> (w_unit, h, beta) contract
+        if callable(method):
+            return method(V, w)
+        raise TypeError(
+            f"orthmethod must be DGKS/ClassicalGS/ModifiedGS or a "
+            f"callable (V, w) -> (w, h, beta); got {type(method).__name__}")
     w = jnp.asarray(w)
     k = V.shape[1]
     dt = jnp.result_type(V.dtype, w.dtype)
