@@ -68,6 +68,10 @@ def test_error_logger_records_history():
     filled = errs[~np.isnan(errs[:, 0]), 0]
     assert len(filled) >= 2
     assert filled[-1] < 1e-12  # converged history recorded
+    # "essentially quadratic" tail (reference test/logger.jl:12-15):
+    # log10 of the last error ~ twice the log10 of the one before
+    if len(filled) >= 3 and filled[-2] > 0:
+        assert abs(2 * np.log10(filled[-2]) - np.log10(filled[-1])) < 2
 
 
 def test_pallas_dia_kernel_interpret_matches_jnp():
