@@ -95,6 +95,12 @@ def iar_chebyshev(nep, dtype=None, orthmethod=None, maxit=30,
                   linsolvercreator=None, tol=None, neigs=6, errmeasure=None,
                   sigma=0.0, gamma=1.0, v=None, logger=0, check_error_every=1,
                   compute_y0_method=":Auto", a=None, b=None):
+    """Chebyshev-basis infinite Arnoldi (reference
+    ``method_iar_chebyshev.jl``).  ``compute_y0_method`` selects the next-
+    vector computation: ``":Auto"``/``":DEP"``/``":PEP"``/``":SPMF"``/
+    ``":Generic"``, or a CALLABLE ``(nep, X, Y, k, M0inv, a, b) -> y0``
+    implementing the reference's ``compute_y0_cheb`` extension point for
+    problem classes with their own Chebyshev recurrence."""
     dtype, em, lg = setup_solver(nep, dtype, errmeasure, logger)
     if tol is None:
         tol = 10000 * float(jnp.finfo(jnp.result_type(dtype, jnp.float32)).eps)
@@ -165,6 +171,8 @@ def iar_chebyshev(nep, dtype=None, orthmethod=None, maxit=30,
         for f in fv:
             DDs = sigma * np.eye(m) + gamma * Dmat
             DDf.append(gamma * _dd0_mat_fun(f, DDs, sigma))
+    elif callable(compute_y0_method):
+        pass  # user-supplied y0 computer needs no precomputation here
     else:
         P = np.column_stack(
             [_cheb2mon(kk, cc, np.eye(m + 1)[:, j]) for j in range(m + 1)]
@@ -178,6 +186,15 @@ def iar_chebyshev(nep, dtype=None, orthmethod=None, maxit=30,
                 else np.asarray(A.matmat(jnp.asarray(X))))
 
     def compute_y0(X, Y, k):
+        if callable(compute_y0_method):
+            # user extension point (reference ``compute_y0_cheb`` dispatch,
+            # method_iar_chebyshev.jl): the callable receives the NEP, the
+            # Chebyshev-coefficient block X (n x k), the partially-filled
+            # candidate Y (n x k+1, columns 1..k = X @ L), the degree k,
+            # the shifted linear solver, and the interval (a, b); it must
+            # return the new 0th Chebyshev coefficient y0 (length n)
+            return np.asarray(
+                compute_y0_method(nep, X, Y, k, M0inv, a, b)).ravel()
         if compute_y0_method == ":DEP":
             y0 = np.sum(X * Tc[None, :k], axis=1, keepdims=True)
             for j in range(len(tauv)):

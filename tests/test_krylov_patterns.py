@@ -82,3 +82,38 @@ def test_iar_nonconvergence_contract(dep):
     with pytest.raises(NoConvergenceException):
         neptpu.iar(dep, sigma=1.1, neigs=6, v=np.ones(dep.n), maxit=7,
                    tol=1e-13)
+
+
+def test_iar_chebyshev_user_compute_y0(dep):
+    """A user-supplied compute_y0 callable (the reference's compute_y0_cheb
+    extension point, ``method_iar_chebyshev.jl``) reproduces the built-in
+    :DEP fast path's spectrum."""
+    from neptpu.ops.linsolve import lin_solve
+    from neptpu.solvers.iar_chebyshev import _cheb_vals, iar_chebyshev
+
+    tauv = np.asarray(dep.tauv)
+    a, b = -float(np.max(tauv)), 0.0
+    cc, kk2 = (a + b) / (a - b), 2 / (b - a)
+    Av = dep.get_Av()  # [I, A_1, ...]
+    calls = {"n": 0}
+
+    def my_y0(nep, X, Y, k, M0inv, a_, b_):
+        calls["n"] += 1
+        Tc = _cheb_vals(cc, k - 1)
+        y0 = np.sum(X * Tc[None, :k], axis=1, keepdims=True)
+        for j, t in enumerate(tauv):
+            Tt = _cheb_vals(-kk2 * t + cc, k)
+            z = np.sum(np.asarray(Y)[:, : k + 1] * Tt[None, : k + 1],
+                       axis=1, keepdims=True)
+            Azv = np.asarray(Av[j + 1] @ jnp.asarray(z)) if hasattr(
+                Av[j + 1], "__matmul__") else np.asarray(Av[j + 1].matmat(z))
+            y0 = y0 - Azv
+        return np.asarray(lin_solve(M0inv, jnp.asarray(y0[:, 0])))
+
+    kw = dict(neigs=3, maxit=30, v=np.ones(dep.n), tol=1e-10)
+    lam_ref, _ = iar_chebyshev(dep, compute_y0_method=":DEP", **kw)
+    lam_usr, _ = iar_chebyshev(dep, compute_y0_method=my_y0, **kw)
+    assert calls["n"] > 0
+    np.testing.assert_allclose(np.sort_complex(np.asarray(lam_usr)),
+                               np.sort_complex(np.asarray(lam_ref)),
+                               rtol=1e-8)
