@@ -177,3 +177,45 @@ def test_resinv_divergence_reports_nonconvergence():
         assert float(neptpu.compute_resnorm(nep, lam, v)) < 1e-9
     except NoConvergenceException as e:
         assert e.lam is not None  # partial results carried
+
+
+# -- test/transf.jl: eigenvalue-level transform roundtrip + realness ---------
+
+def test_shift_and_scale_eigenvalue_roundtrip():
+    """Solve the TRANSFORMED problem, map the eigenvalue back through
+    lam = scale*mu + shift, and check the residual in the ORIGINAL problem
+    (``transf.jl:44-54``)."""
+    nep = neptpu.nep_gallery("qdep0")
+    lam0, v0 = neptpu.quasinewton(nep, lam=1 + 1j, v=np.ones(nep.n),
+                                  maxit=200, tol=1e-11)
+    sh, sc = -3 + 0.3j, 0.9
+    from neptpu import shift_and_scale
+    nept = shift_and_scale(nep, shift=sh, scale=sc)
+    # the known pair transforms into the new coordinates: the residual in
+    # the transformed problem equals the (relative) original residual
+    v0 = np.asarray(v0)
+    nv = np.linalg.norm(v0)
+    r = np.linalg.norm(np.asarray(
+        compute_Mlincomb(nept, (lam0 - sh) / sc, v0))) / nv
+    r0 = np.linalg.norm(np.asarray(
+        compute_Mlincomb(nep, lam0, v0))) / nv
+    assert r < max(2 * r0, 1e-10)
+    # Krylov on the transformed problem maps back to original residuals
+    lams, V, _ = neptpu.iar(nept, sigma=0.0, neigs=2, maxit=60,
+                            v=np.ones(nep.n), tol=1e-10)
+    for mu, x in zip(np.asarray(lams), np.asarray(V).T):
+        x = np.asarray(x)
+        rr = np.linalg.norm(np.asarray(
+            compute_Mlincomb(nep, sc * complex(mu) + sh, x)))
+        # ||M(lam)|| ~ 124 on qdep0, so 1e-5 raw is ~1e-7 backward
+        assert rr / np.linalg.norm(x) < 1e-5
+
+
+def test_shift_and_scale_preserves_realness():
+    """A real PEP under a REAL shift/scale stays real
+    (``transf.jl:38-42``)."""
+    from neptpu import shift_and_scale
+    pep = neptpu.nep_gallery("pep0", 10)
+    pept = shift_and_scale(pep, shift=3.0, scale=1.0)
+    for A in pept.get_Av():
+        assert not np.iscomplexobj(np.asarray(A))
