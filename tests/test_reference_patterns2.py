@@ -219,3 +219,16 @@ def test_shift_and_scale_preserves_realness():
     pept = shift_and_scale(pep, shift=3.0, scale=1.0)
     for A in pept.get_Av():
         assert not np.iscomplexobj(np.asarray(A))
+
+
+# -- test/neptypes.jl: construction-time matrix-function contract check ------
+
+def test_spmf_scalar_function_rejected_at_construction():
+    """A term function returning a scalar (not a matrix) must be caught at
+    construction (the reference warns via @code_typed inspection,
+    ``neptypes.jl:14-17``; here it is a hard error)."""
+    rng = np.random.default_rng(0)
+    Av = [rng.standard_normal((3, 3)) for _ in range(2)]
+    with pytest.raises(ValueError):
+        SPMF_NEP(Av, [lambda S: 1, lambda S: -jnp.asarray(S)],
+                 check_consistency=True)
