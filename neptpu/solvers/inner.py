@@ -130,10 +130,18 @@ def inner_solve(is_, dtype, nep, lamv=None, V=None, sigma=0.0, neigs=10,
             pass  # could renormalize the lambda-term; handled generically below
         v0 = np.ones(n) if is_.starting_vector == ":ones" else np.random.default_rng(0).standard_normal(n)
         try:
-            lams, VV, _ = is_.iar_function(
-                work_nep, dtype=dtype, sigma=sigma, neigs=neigs, tol=is_.tol,
-                maxit=min(is_.maxit, 2 * n), logger=inner_logger, v=v0,
+            # NOTE: the Krylov degree of an infinite-Arnoldi run may
+            # exceed the problem dimension (the linearization is
+            # infinite-dimensional), so small PROJECTED problems must not
+            # be capped at 2n steps — that cap silently limited inner
+            # accuracy to ~1e-5 on 5-dim projections (r5 inner-solve sweep)
+            out = is_.iar_function(
+                work_nep, dtype=dtype, sigma=sigma, neigs=neigs,
+                tol=tol if tol is not None else is_.tol,
+                maxit=min(is_.maxit, max(2 * n, 40)),
+                logger=inner_logger, v=v0,
             )
+            lams, VV = out[0], out[1]
             return np.asarray(lams), np.asarray(VV)
         except NoConvergenceException as e:
             return np.asarray(e.lam), np.asarray(e.v)
@@ -199,7 +207,9 @@ def inner_solve(is_, dtype, nep, lamv=None, V=None, sigma=0.0, neigs=10,
         else:
             Sigma = is_.Sigma
         nodes = [0.0 + 0.0j] if is_.nodes == ":auto" else is_.nodes
-        lams, V_ = nleigs(nep, Sigma, nodes=nodes, tol=is_.tol, static=True)
+        lams, V_, _, _ = nleigs(nep, Sigma, nodes=nodes,
+                                tol=tol if tol is not None else is_.tol,
+                                static=True)
         return np.asarray(lams), np.asarray(V_)
 
     raise ValueError(f"unknown inner solver {is_}")
